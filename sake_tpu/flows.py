@@ -1,0 +1,234 @@
+"""Equivariant normalizing flows built on the SAKE model.
+
+Two constructions (reference: ``sake/flows.py``):
+
+- ``AugmentedFlow*`` — RealNVP-style coupling between positions ``x`` and
+  augmented velocities ``v``; the conditioner is a SAKE model run with a
+  ghost node so per-graph statistics are available, producing a mean-free
+  equivariant translation and a tanh-bounded per-graph log-scale. Exact
+  log-determinants.
+- ``ODEFlow`` — a continuous normalizing flow whose dynamics is
+  ``model(t, x).x - x``, with the log-density change estimated by a
+  Hutchinson trace via ``jax.vjp`` and integrated by an adaptive
+  Dormand-Prince ``odeint`` inside XLA.
+
+Base density: ``CenteredGaussian`` on the translation-quotient subspace
+(``(N-1)*D`` degrees of freedom).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.experimental.ode import odeint
+
+from sake_tpu.models import SAKEModel
+
+# (0, 1) integration span; built lazily so importing this module never
+# initializes a device backend.
+T_SPAN = (0.0, 1.0)
+
+
+class CenteredGaussian:
+    """Mean-free isotropic Gaussian on the translation-quotient subspace.
+
+    ``log_prob`` uses ``dof = (N-1)*D`` as the normalizing dimension;
+    ``sample`` projects out the center of mass
+    (reference: ``sake/flows.py:12-27``).
+    """
+
+    @staticmethod
+    def log_prob(value: jax.Array) -> jax.Array:
+        n, d = value.shape[-2], value.shape[-1]
+        dof = (n - 1) * d
+        r2 = (value**2).reshape(*value.shape[:-2], -1).sum(-1)
+        return -0.5 * r2 - 0.5 * dof * math.log(2.0 * math.pi)
+
+    @staticmethod
+    def sample(key: jax.Array, shape) -> jax.Array:
+        x = jax.random.normal(key=key, shape=shape)
+        return x - x.mean(axis=-2, keepdims=True)
+
+
+class ODEFlow:
+    """Continuous normalizing flow driven by an equivariant model.
+
+    Dynamics ``f(x, t) = model(t·1, x).x - x`` (time broadcast as the node
+    feature, ``sake/flows.py:32-35``); log-det by a Hutchinson trace
+    estimator with a Gaussian probe through ``jax.vjp``
+    (``flows.py:57-65``); integrated over t in (0, 1) at rtol=atol=1e-2
+    (``flows.py:85-91``). Exact-Jacobian variants provided for testing.
+    """
+
+    @staticmethod
+    def dynamics(model, params, x, t):
+        t = jnp.ones((*x.shape[:-1], 1)) * t
+        _, y, _ = model.apply(params, t, x)
+        return y - x
+
+    @staticmethod
+    def jacobian(fn, x, t):
+        return jax.vmap(lambda xi: jax.jacrev(fn)(xi, t))(x)
+
+    @staticmethod
+    def trace(fn, x, t, key):
+        y, vjp_fun = jax.vjp(lambda x_: fn(x_, t), x)
+        _, subkey = jax.random.split(key)
+        u = jax.random.normal(subkey, y.shape)
+        return (vjp_fun(u)[0] * u).sum(axis=(-1, -2))
+
+    @staticmethod
+    def exact_logdet(fn, x):
+        res = fn(x)
+        dof = res.shape[-1] * res.shape[-2]
+        res = res.reshape(*res.shape[:-4], dof, dof)
+        _, logdet = jnp.linalg.slogdet(res)
+        return logdet
+
+    @staticmethod
+    def dynamics_and_trace(model, params, key):
+        dyn = partial(ODEFlow.dynamics, model, params)
+
+        def fn(state, t):
+            x, _ = state
+            return dyn(x, t), ODEFlow.trace(dyn, x, t, key)
+
+        return fn
+
+    @staticmethod
+    def call(model, params, x, key):
+        trace0 = jnp.zeros(shape=x.shape[:-2])
+        fn = ODEFlow.dynamics_and_trace(model, params, key)
+        y, logdet = odeint(fn, (x, trace0), jnp.array(T_SPAN), rtol=1e-2, atol=1e-2)
+        return y[-1], logdet[-1]
+
+    @staticmethod
+    def nll(model, params, x, key):
+        """Negative log-likelihood: push x through the flow, score under the
+        centered Gaussian, correct by the trace integral
+        (the loss of ``scripts/dw4/run.py:36-41``)."""
+        z, logdet = ODEFlow.call(model, params, x, key)
+        return -(CenteredGaussian.log_prob(z) + logdet).mean()
+
+
+class AugmentedFlowLayer(nn.Module):
+    """One coupling layer: transforms ``v`` conditioned on ``(h, x)``.
+
+    The conditioner ``mp``: append ``|x|^2`` to node features, append a ghost
+    node of zeros (so the model's masked-mean sees N+1 nodes and per-graph
+    information can route through it), run a SAKE model, strip the ghost,
+    return a mean-free translation and a tanh-bounded per-graph scale
+    (reference: ``sake/flows.py:97-144``).
+    """
+
+    hidden_features: int = 64
+    depth: int = 3
+    activation: Callable = nn.silu
+
+    def setup(self):
+        self.conditioner = SAKEModel(
+            hidden_features=self.hidden_features,
+            depth=self.depth,
+            out_features=1,
+            activation=self.activation,
+            name="conditioner",
+        )
+        self.scale_dense_in = nn.Dense(self.hidden_features, name="scale_dense_in")
+        self.scale_dense_out = nn.Dense(1, use_bias=False, name="scale_dense_out")
+
+    def mp(self, h, x):
+        x0 = x
+        h = jnp.concatenate([h, (x**2).sum(-1, keepdims=True)], axis=-1)
+        ghost_h = jnp.zeros_like(h[..., :1, :])
+        ghost_x = jnp.zeros_like(x[..., :1, :])
+        h = jnp.concatenate([h, ghost_h], axis=-2)
+        x = jnp.concatenate([x, ghost_x], axis=-2)
+        h, x, _ = self.conditioner(h, x)
+        h, x = h[..., :-1, :], x[..., :-1, :]
+        translation = x - x0
+        translation = translation - translation.mean(axis=-2, keepdims=True)
+        scale = jnp.tanh(
+            self.scale_dense_out(self.activation(self.scale_dense_in(h)))
+        ).mean(axis=-2, keepdims=True)
+        return scale, translation
+
+    def f_forward(self, h, x, v):
+        scale, translation = self.mp(h, x)
+        v = jnp.exp(scale) * v + translation
+        log_det = scale.sum((-1, -2)) * v.shape[-1] * v.shape[-2]
+        return x, v, log_det
+
+    def f_backward(self, h, x, v):
+        scale, translation = self.mp(h, x)
+        v = jnp.exp(-scale) * (v - translation)
+        log_det = scale.sum((-1, -2)) * v.shape[-1] * v.shape[-2]
+        return x, v, log_det
+
+    def __call__(self, h, x, v):
+        return self.f_forward(h, x, v)
+
+
+class AugmentedFlowModel(nn.Module):
+    """Stack of (x->v, v->x) coupling pairs.
+
+    ``f_forward`` iterates the pairs reversed and ``f_backward`` in forward
+    order so the two are exact inverses; both accumulate the summed
+    log-determinant (reference: ``sake/flows.py:146-188``).
+    """
+
+    depth: int = 3
+    mp_depth: int = 3
+    hidden_features: int = 64
+    activation: Callable = nn.silu
+
+    def setup(self):
+        self.xv_layers = [
+            AugmentedFlowLayer(
+                self.hidden_features, self.mp_depth, name=f"xv_{i}"
+            )
+            for i in range(self.depth)
+        ]
+        self.vx_layers = [
+            AugmentedFlowLayer(
+                self.hidden_features, self.mp_depth, name=f"vx_{i}"
+            )
+            for i in range(self.depth)
+        ]
+
+    def f_forward(self, h, x, v):
+        sum_log_det = 0.0
+        for xv, vx in zip(self.xv_layers[::-1], self.vx_layers[::-1]):
+            x, v, log_det = xv.f_forward(h, x, v)
+            sum_log_det = sum_log_det + log_det
+            v, x, log_det = vx.f_forward(h, v, x)
+            sum_log_det = sum_log_det + log_det
+        return x, v, sum_log_det
+
+    def f_backward(self, h, x, v):
+        sum_log_det = 0.0
+        for xv, vx in zip(self.xv_layers, self.vx_layers):
+            v, x, log_det = vx.f_backward(h, v, x)
+            sum_log_det = sum_log_det + log_det
+            x, v, log_det = xv.f_backward(h, x, v)
+            sum_log_det = sum_log_det + log_det
+        return x, v, sum_log_det
+
+    def __call__(self, h, x, v):
+        return self.f_forward(h, x, v)
+
+    def nll(self, h, x, key):
+        """Augmented NLL: sample centered-Gaussian velocities, invert the
+        flow, score both outputs under the base density
+        (the loss of ``scripts/dw4_aug/run.py:39-43``)."""
+        v = CenteredGaussian.sample(key, x.shape)
+        z_x, z_v, log_det = self.f_backward(h, x, v)
+        return (
+            -CenteredGaussian.log_prob(z_x)
+            - CenteredGaussian.log_prob(z_v)
+            + log_det
+        ).mean()
