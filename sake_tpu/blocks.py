@@ -30,12 +30,14 @@ class MLP(nn.Module):
     activation: Callable = jax.nn.silu
     act_last: bool = True
     use_bias: bool = True
+    use_bias_last: bool = True  # the scale/shift heads end in a bias-free Dense
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         n = len(self.features)
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, use_bias=self.use_bias, name=f"dense_{i}")(x)
+            bias = self.use_bias and (i < n - 1 or self.use_bias_last)
+            x = nn.Dense(f, use_bias=bias, name=f"dense_{i}")(x)
             if i < n - 1 or self.act_last:
                 x = self.activation(x)
         return x

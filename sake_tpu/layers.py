@@ -228,10 +228,12 @@ class EGNNLayer(nn.Module):
         h = self.hidden_features
         self.node_mlp = MLP((h, self.out_features), self.activation, name="node_mlp")
         self.scaling_mlp = MLP(
-            (h, 1), self.activation, act_last=False, name="scaling_mlp"
+            (h, 1), self.activation, act_last=False, use_bias_last=False,
+            name="scaling_mlp",
         )
         self.shifting_mlp = MLP(
-            (h, 1), self.activation, act_last=False, name="shifting_mlp"
+            (h, 1), self.activation, act_last=False, use_bias_last=False,
+            name="shifting_mlp",
         )
         if self.sigmoid:
             self.edge_gate = nn.Dense(1, use_bias=False, name="edge_gate")
@@ -279,10 +281,12 @@ class EGNNSmearedLayer(nn.Module):
         self.edge_model = ContinuousFilterConv(h, name="edge_model")
         self.node_mlp = MLP((h, self.out_features), self.activation, name="node_mlp")
         self.scaling_mlp = MLP(
-            (h, 1), self.activation, act_last=False, name="scaling_mlp"
+            (h, 1), self.activation, act_last=False, use_bias_last=False,
+            name="scaling_mlp",
         )
         self.shifting_mlp = MLP(
-            (h, 1), self.activation, act_last=False, name="shifting_mlp"
+            (h, 1), self.activation, act_last=False, use_bias_last=False,
+            name="shifting_mlp",
         )
         if self.sigmoid:
             self.edge_gate = nn.Dense(1, use_bias=False, name="edge_gate")

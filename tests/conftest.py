@@ -5,6 +5,29 @@ standard substitute for a real TPU slice. Must run before jax initializes.
 """
 
 import os
+import sys
+
+# The environment's sitecustomize (.axon_site on PYTHONPATH) registers the
+# TPU-tunnel backend at interpreter start and overrides JAX_PLATFORMS, so
+# merely setting env vars here is too late: tests would silently run over
+# the (slow, single-chip) tunnel. Re-exec with a scrubbed environment to get
+# a genuine 8-device CPU backend.
+if ".axon_site" in os.environ.get("PYTHONPATH", ""):
+    import subprocess
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env["PYTHONPATH"].split(os.pathsep) if ".axon_site" not in p
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    raise SystemExit(
+        subprocess.run(
+            [sys.executable, "-m", "pytest", *sys.argv[1:]], env=env
+        ).returncode
+    )
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
