@@ -1,0 +1,115 @@
+"""Data-parallel correctness on an 8-fake-device CPU mesh — the distributed
+test tier the reference lacked (its multi-device path was only ever "tested"
+on clusters)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from sake_tpu.models import SAKEModel
+from sake_tpu.parallel import (
+    make_dp_epoch,
+    make_dp_step,
+    make_mesh,
+    replicate_state,
+    shard_batch,
+)
+from sake_tpu.train import TrainState
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 fake devices"
+    return make_mesh()
+
+
+def _setup(batch=16, n=5, f=4, hidden=8):
+    rng = np.random.RandomState(0)
+    h = jnp.asarray(rng.randn(batch, n, f), jnp.float32)
+    x = jnp.asarray(rng.randn(batch, n, 3), jnp.float32)
+    y = jnp.asarray(rng.randn(batch, 1), jnp.float32)
+    model = SAKEModel(hidden_features=hidden, out_features=1, depth=2, update=False)
+    params = model.init(jax.random.PRNGKey(0), h[0], x[0])
+
+    def loss_fn(params, batch):
+        out, _, _ = model.apply(params, batch["h"], batch["x"])
+        pred = out.sum(axis=-2)
+        return ((pred - batch["y"]) ** 2).mean()
+
+    return model, params, loss_fn, {"h": h, "x": x, "y": y}
+
+
+def test_mesh_shapes(mesh):
+    assert mesh.shape == {"data": 8}
+
+
+def test_dp_step_matches_single_device(mesh):
+    """One shard_map DP step must equal the equivalent single-device step
+    (same loss, same updated params)."""
+    model, params, loss_fn, batch = _setup()
+    tx = optax.sgd(1e-2)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    # single-device reference
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(state.params, batch)
+    state_ref = state.apply_gradients(grads_ref)
+
+    # data-parallel
+    dp_step = make_dp_step(loss_fn, mesh)
+    state_dp = replicate_state(state, mesh)
+    batch_dp = shard_batch(batch, mesh)
+    state_dp, loss_dp = jax.jit(dp_step)(state_dp, batch_dp)
+
+    np.testing.assert_allclose(float(loss_dp), float(loss_ref), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        jax.device_get(state_dp.params),
+        jax.device_get(state_ref.params),
+    )
+
+
+def test_dp_epoch_on_device(mesh):
+    """A whole scanned epoch inside shard_map runs and reduces loss."""
+    model, params, loss_fn, data = _setup(batch=64)
+    tx = optax.adam(1e-2)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    # (n_batches=4, global_batch=16, ...)
+    batches = jax.tree.map(
+        lambda a: a.reshape(4, 16, *a.shape[1:]), data
+    )
+    dp_epoch = make_dp_epoch(loss_fn, mesh)
+    state_dp = replicate_state(state, mesh)
+    run = jax.jit(dp_epoch)
+    losses_first = None
+    for _ in range(10):
+        state_dp, losses = run(state_dp, batches)
+        if losses_first is None:
+            losses_first = float(losses[0])
+    assert float(losses[-1]) < losses_first, "loss must decrease over epochs"
+
+
+def test_dp_grads_average_not_sum(mesh):
+    """Scaling check: the DP update on a replicated batch equals the
+    single-device update on one shard (pmean, not psum)."""
+    model, params, loss_fn, batch = _setup(batch=8)
+    # identical data on every shard
+    batch_rep = jax.tree.map(lambda a: jnp.tile(a[:1], (8,) + (1,) * (a.ndim - 1)), batch)
+    tx = optax.sgd(1e-2)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    one = jax.tree.map(lambda a: a[:1], batch)
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(state.params, one)
+    state_ref = state.apply_gradients(grads_ref)
+
+    dp_step = make_dp_step(loss_fn, mesh)
+    state_dp, loss_dp = jax.jit(dp_step)(
+        replicate_state(state, mesh), shard_batch(batch_rep, mesh)
+    )
+    np.testing.assert_allclose(float(loss_dp), float(loss_ref), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        jax.device_get(state_dp.params),
+        jax.device_get(state_ref.params),
+    )
