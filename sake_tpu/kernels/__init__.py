@@ -1,0 +1,25 @@
+"""Fused Pallas TPU kernels and their functional/lax reference forms."""
+
+from sake_tpu.kernels.functional import (
+    ModelParams,
+    LayerParams,
+    CFConvParams,
+    model_forward,
+    energy_and_forces_fn,
+)
+from sake_tpu.kernels.adapter import (
+    model_params_from_linen,
+    layer_params_from_linen,
+)
+from sake_tpu.kernels.fused_ef import fused_energy_forces
+
+__all__ = [
+    "ModelParams",
+    "LayerParams",
+    "CFConvParams",
+    "model_forward",
+    "energy_and_forces_fn",
+    "model_params_from_linen",
+    "layer_params_from_linen",
+    "fused_energy_forces",
+]

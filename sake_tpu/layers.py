@@ -177,6 +177,46 @@ class DenseSAKELayer(nn.Module):
             return delta_v / (mask.sum(-1, keepdims=True) + 1e-10)
         return mixed.mean(axis=(-2, -3))
 
+    def _spatial_pooled(self, h_e_att, x_minus_xt, x_minus_xt_norm, mask=None):
+        """Spatial attention + velocity mixing WITHOUT materializing the
+        ``(..., N, N, C, 3)`` combination field.
+
+        The reference builds that field explicitly (``sake/layers.py:118``)
+        and immediately mean-pools it over senders — at batch 256, N=21,
+        C=256 that is a ~350 MB HBM round trip per layer. Both consumers
+        are linear in the field, so the pool is a single einsum contraction
+        over the sender axis:
+
+        ``pooled[i, c, d] = sum_j coeff[i, j, c] * unit[i, j, d] / count_i``
+
+        and ``delta_v = sum_c w_c * pooled[:, c, :]`` reuses it. Same math
+        as the reference (fp32 reassociation only); parity-tested.
+
+        Returns ``(h_combinations, delta_v)``; ``delta_v`` is None when the
+        layer has no update head.
+        """
+        coefficients = jnp.tanh(self.x_mixing_dense(h_e_att))
+        unit = x_minus_xt / (x_minus_xt_norm + 1e-5)
+        if mask is not None:
+            coefficients = coefficients * mask[..., None]
+            count = mask.sum(-1)[..., None, None]  # senders per receiver
+        else:
+            count = x_minus_xt.shape[-2]
+        raw = jnp.einsum("...ijc,...ijd->...icd", coefficients, unit)
+        pooled = raw / (count + 1e-8) if mask is not None else raw / count
+        h_combinations = self.post_norm_mlp((pooled**2).sum(-1))
+        delta_v = None
+        if self.update:
+            # v_mixing is linear, so mixing the pooled sum equals pooling
+            # the mixed field; delta_v keeps the reference's own
+            # denominator (+1e-10 vs the pool's +1e-8).
+            mixed = self.v_mixing(raw.swapaxes(-1, -2))[..., 0]  # (..., N, 3)
+            if mask is not None:
+                delta_v = mixed / (mask.sum(-1, keepdims=True) + 1e-10)
+            else:
+                delta_v = mixed / count
+        return h_combinations, delta_v
+
     def __call__(self, h, x, v=None, mask=None, he=None):
         x_minus_xt = geometry.pairwise_displacement(x)
         x_minus_xt_norm = geometry.pairwise_distance(x_minus_xt)
@@ -191,18 +231,17 @@ class DenseSAKELayer(nn.Module):
         h_e_att = h_e_mtx[..., :, None] * combined[..., None, :]
         h_e_att = h_e_att.reshape(*h_e_att.shape[:-2], -1)
 
-        h_combinations, combinations = self.spatial_attention(
+        h_combinations, delta_v = self._spatial_pooled(
             h_e_att, x_minus_xt, x_minus_xt_norm, mask=mask
         )
         if not self.use_spatial_attention:
             h_combinations = jnp.zeros_like(h_combinations)
-            combinations = jnp.zeros_like(combinations)
+            delta_v = jnp.zeros_like(x) if delta_v is not None else None
 
         h_e = self.aggregate(h_e_att, mask=mask)
         h = self.node_model(h, h_e, h_combinations)
 
         if self.update:
-            delta_v = self._delta_v(combinations, mask=mask)
             v = self.velocity_model(v, h) if v is not None else jnp.zeros_like(x)
             v = delta_v + v
             x = x + v
