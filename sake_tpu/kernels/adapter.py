@@ -61,6 +61,16 @@ def layer_params_from_linen(lp) -> LayerParams:
     )
 
 
+def stack_layer_params(layers) -> LayerParams:
+    """Stack per-layer ``LayerParams`` into one pytree with a leading depth
+    axis — the form the fused kernel's in-kernel layer loop consumes (the
+    layer body is traced ONCE and iterated with ``lax.fori_loop``, keeping
+    Mosaic compile time flat in depth)."""
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
 def model_params_from_linen(params) -> ModelParams:
     """Convert a ``SAKEModel`` linen param tree (``{"params": {...}}`` or
     the inner dict) to the kernel pytree."""
