@@ -1,0 +1,298 @@
+"""Large-system execution: blocked pairwise evaluation and atom sharding.
+
+The reference's systems are tiny (N <= ~30) so its dense O(N^2) tensors are
+free; at OC20-and-beyond scale they are not. This module is the molecular
+analog of long-context attention engineering (SURVEY §5.7):
+
+- ``blocked_layer_forward`` — evaluate a dense SAKE layer by scanning the
+  sender (j) axis in blocks with an online-softmax accumulation, so peak
+  memory is O(N * block) instead of O(N^2): blockwise attention applied to
+  geometric messages. Numerically equal to the dense layer (same masking
+  and normalization; fp32 reassociation only).
+- ``atom_sharded_forward`` — shard receivers across a mesh axis inside
+  ``shard_map``; each device all-gathers the (small) sender node states
+  per layer and computes only its receiver rows, blocked. The backward of
+  ``all_gather`` is the matching reduce-scatter, so forces via ``jax.grad``
+  work end-to-end — the all-gather formulation of ring attention (a
+  ``ppermute`` ring is the bandwidth-optimal refinement when gathered
+  senders no longer fit).
+
+Built on the kernel-side functional model (pytree params, keepdims plane
+geometry); convert linen params with ``kernels.model_params_from_linen``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.7 stable API
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from sake_tpu.kernels.functional import (
+    EPSILON,
+    INF,
+    LayerParams,
+    ModelParams,
+    _celu2,
+    _embed,
+    _make_mm,
+    _readout,
+    _silu,
+)
+
+
+def _slice_j(a, j0, jn, axis=1):
+    return jax.lax.dynamic_slice_in_dim(a, j0, jn, axis=axis)
+
+
+def blocked_layer_forward(
+    p: LayerParams,
+    h_send: jax.Array,  # (B, Nj, F) ALL sender node features
+    x_send,  # 3 x (B, Nj, 1) ALL sender position planes
+    v_recv,  # 3 x (B, Ni, 1) receiver velocities or None
+    *,
+    n_heads: int,
+    update: bool,
+    block_size: int,
+    receiver_offset=0,  # receivers are h_send[:, off : off + Ni]
+    n_receivers: Optional[int] = None,
+    mask: Optional[jax.Array] = None,  # (B, Ni, Nj)
+    matmul_dtype=None,
+):
+    """One dense SAKE layer over receivers [off, off+Ni) with the sender
+    axis scanned in ``block_size`` chunks (online softmax, two passes).
+
+    Returns local ``(h_recv_out, x_recv_out_planes, v_recv_out_planes)``.
+    """
+    B, Nj, F = h_send.shape
+    Ni = n_receivers if n_receivers is not None else Nj
+    K = n_heads
+    H = p.edge.w_out0.shape[-1]
+    C = p.w_xmix.shape[-1]
+    R = p.edge.w_in.shape[-1]
+    mm = _make_mm(matmul_dtype)
+    assert Nj % block_size == 0, "sender count must divide block_size"
+    n_blocks = Nj // block_size
+
+    # node-level matmul halves over all senders / local receivers
+    h2d = h_send.reshape(B * Nj, F)
+    a_j = mm(h2d, p.edge.w_in[:F]).reshape(B, Nj, R)
+    o_j = mm(h2d, p.edge.w_out0[:F]).reshape(B, Nj, H)
+    h_recv = _slice_j(h_send, receiver_offset, Ni)
+    x_recv = [_slice_j(pk, receiver_offset, Ni) for pk in x_send]
+    hr2d = h_recv.reshape(B * Ni, F)
+    a_i = mm(hr2d, p.edge.w_in[F:]).reshape(B, Ni, R)
+    o_i = mm(hr2d, p.edge.w_out0[F : 2 * F]).reshape(B, Ni, H)
+
+    i_ids = receiver_offset + jnp.arange(Ni)
+
+    def edge_block(j0):
+        """(h_e, masked logits, d planes, r) for sender block [j0, j0+bs)."""
+        xj = [_slice_j(pk, j0, block_size) for pk in x_send]
+        d = [pj[:, None, :, :] - pi[:, :, None, :] for pi, pj in zip(x_recv, xj)]
+        r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        r = jnp.sqrt(jax.nn.relu(r2) + EPSILON)  # (B, Ni, bs, 1)
+        pre = (
+            _slice_j(a_j, j0, block_size)[:, None]
+            + a_i[:, :, None]
+            + p.edge.b_in
+        )
+        rbf = jnp.exp(-p.edge.rbf_betas * (jnp.exp(-r) - p.edge.rbf_means) ** 2)
+        filtered = rbf * pre
+        o_f = mm(filtered.reshape(-1, R), p.edge.w_out0[2 * F : 2 * F + R])
+        e0 = (
+            _slice_j(o_j, j0, block_size)[:, None]
+            + o_i[:, :, None]
+            + o_f.reshape(B, Ni, block_size, H)
+            + r * p.edge.w_out0[2 * F + R]
+            + p.edge.b_out0
+        )
+        h_e = mm(_silu(e0).reshape(-1, H), p.edge.w_out1).reshape(
+            B, Ni, block_size, H
+        ) + p.edge.b_out1
+        logits = _celu2(
+            mm(h_e.reshape(-1, H), p.w_sem).reshape(B, Ni, block_size, K)
+            + p.b_sem
+        )
+        j_ids = j0 + jnp.arange(block_size)
+        self_pair = (i_ids[:, None] == j_ids[None, :]).astype(logits.dtype)
+        logits = logits - INF * self_pair[None, :, :, None]
+        if mask is not None:
+            mblk = _slice_j(mask, j0, block_size, axis=2)
+            logits = logits - INF * (1.0 - mblk[..., None])
+        return h_e, logits, d, r
+
+    # ---- pass 1: online softmax statistics ------------------------------
+    def pass1(carry, b):
+        m, z = carry
+        _, logits, _, _ = edge_block(b * block_size)
+        m_new = jnp.maximum(m, logits.max(axis=2))
+        z = z * jnp.exp(m - m_new) + jnp.exp(logits - m_new[:, :, None, :]).sum(
+            axis=2
+        )
+        return (m_new, z), None
+
+    m0 = jnp.full((B, Ni, K), -jnp.inf)
+    z0 = jnp.zeros((B, Ni, K))
+    (m, z), _ = jax.lax.scan(pass1, (m0, z0), jnp.arange(n_blocks))
+
+    # ---- pass 2: attention-weighted accumulation ------------------------
+    w_xmix_hk = p.w_xmix.reshape(H, K, C)
+    w_nagg_hk = p.w_node0[F : F + H * K].reshape(H, K, -1)
+
+    def pass2(carry, b):
+        agg_node, pooled, att_count = carry
+        j0 = b * block_size
+        h_e, logits, d, r = edge_block(j0)
+        att = jnp.exp(logits - m[:, :, None, :]) / z[:, :, None, :]
+        # masked pairs have logit -INF -> att 0; att sums to 1 over real
+        # senders, matching the dense path's mask-renormalized attention
+        if mask is not None:
+            mblk = _slice_j(mask, j0, block_size, axis=2)
+            att_count = att_count + mblk.sum(axis=2)[..., None]
+        coeff_pre = jnp.zeros((B, Ni, block_size, C))
+        he2d = h_e.reshape(-1, H)
+        for k in range(K):
+            att_k = att[..., k : k + 1]
+            coeff_pre = coeff_pre + att_k * mm(he2d, w_xmix_hk[:, k, :]).reshape(
+                B, Ni, block_size, C
+            )
+            a_k = (h_e * att_k).sum(axis=2)
+            agg_node = agg_node + mm(a_k.reshape(B * Ni, H), w_nagg_hk[:, k, :])
+        coeff = jnp.tanh(coeff_pre)
+        if mask is not None:
+            mblk = _slice_j(mask, j0, block_size, axis=2)
+            coeff = coeff * mblk[..., None]
+        inv_r = 1.0 / (r + 1e-5)
+        pooled = pooled + jnp.stack(
+            [(coeff * (d[k2] * inv_r)).sum(axis=2) for k2 in range(3)]
+        )
+        return (agg_node, pooled, att_count), None
+
+    agg0 = jnp.zeros((B * Ni, p.w_node0.shape[-1]))
+    pooled0 = jnp.zeros((3, B, Ni, C))
+    cnt0 = jnp.zeros((B, Ni, 1))
+    (agg_node, pooled, att_count), _ = jax.lax.scan(
+        pass2, (agg0, pooled0, cnt0), jnp.arange(n_blocks)
+    )
+
+    count = att_count + 1e-8 if mask is not None else float(Nj)
+    norm_pool = [pooled[k] / count for k in range(3)]
+    pool_sq = norm_pool[0] ** 2 + norm_pool[1] ** 2 + norm_pool[2] ** 2
+    h_comb = _silu(
+        mm(_silu(mm(pool_sq.reshape(B * Ni, C), p.w_post0) + p.b_post0), p.w_post1)
+        + p.b_post1
+    )
+    node_pre = (
+        mm(hr2d, p.w_node0[:F])
+        + agg_node
+        + mm(h_comb, p.w_node0[F + H * K :])
+        + p.b_node0
+    )
+    upd_val = mm(_silu(node_pre), p.w_node1) + p.b_node1
+    h_out = h_recv + _silu(upd_val).reshape(B, Ni, F)
+
+    if not update:
+        return h_out, x_recv, v_recv
+
+    dv_denom = att_count + 1e-10 if mask is not None else float(Nj)
+    delta_planes = [
+        mm(pooled[k].reshape(B * Ni, C), p.w_vmix).reshape(B, Ni, 1) / dv_denom
+        for k in range(3)
+    ]
+    if v_recv is not None:
+        gate = 2.0 * jax.nn.sigmoid(
+            mm(_silu(mm(h_out.reshape(B * Ni, F), p.w_vel0) + p.b_vel0), p.w_vel1)
+        ).reshape(B, Ni, 1)
+        v_new = [gate * vk + dk for vk, dk in zip(v_recv, delta_planes)]
+    else:
+        v_new = delta_planes
+    x_new = [xk + vk for xk, vk in zip(x_recv, v_new)]
+    return h_out, x_new, v_new
+
+
+def blocked_model_forward(
+    p: ModelParams,
+    h: jax.Array,
+    x: jax.Array,  # (B, N, 3)
+    v=None,
+    *,
+    n_heads: int = 4,
+    update: Sequence[bool] | bool = True,
+    block_size: int = 128,
+    mask: Optional[jax.Array] = None,
+    matmul_dtype=None,
+):
+    """Full model with blocked layers (single device, O(N*block) memory)."""
+    depth = len(p.layers)
+    updates = [update] * depth if isinstance(update, bool) else list(update)
+    mm = _make_mm(matmul_dtype)
+    xp = [x[..., k : k + 1] for k in range(3)]
+    vp = [v[..., k : k + 1] for k in range(3)] if v is not None else None
+    hc = _embed(p, h, mm)
+    for lp, upd in zip(p.layers, updates):
+        hc, xp, vp = blocked_layer_forward(
+            lp, hc, xp, vp,
+            n_heads=n_heads, update=upd, block_size=block_size, mask=mask,
+            matmul_dtype=matmul_dtype,
+        )
+    out = _readout(p, hc, mm)
+    x_out = jnp.concatenate(xp, axis=-1)
+    v_out = jnp.concatenate(vp, axis=-1) if vp is not None else None
+    return out, x_out, v_out
+
+
+def atom_sharded_forward(
+    p: ModelParams,
+    h: jax.Array,  # (B, N, F_in); N divisible by the mesh axis size
+    x: jax.Array,  # (B, N, 3)
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    n_heads: int = 4,
+    update: Sequence[bool] | bool = True,
+    block_size: int = 128,
+    matmul_dtype=None,
+):
+    """Atom-sharded model forward: ``(out, x_out)`` sharded like inputs."""
+    depth = len(p.layers)
+    updates = [update] * depth if isinstance(update, bool) else list(update)
+    n_dev = mesh.shape[axis]
+    B, N, _ = h.shape
+    assert N % n_dev == 0, "atom count must divide the mesh axis"
+    n_local = N // n_dev
+
+    def local_fn(h_loc, x_loc):
+        mm = _make_mm(matmul_dtype)
+        offset = jax.lax.axis_index(axis) * n_local
+        hc = _embed(p, h_loc, mm)  # (B, n_local, H)
+        xp = [x_loc[..., k : k + 1] for k in range(3)]
+        vp = None
+        for lp, upd in zip(p.layers, updates):
+            h_all = jax.lax.all_gather(hc, axis, axis=1, tiled=True)
+            xp_all = [
+                jax.lax.all_gather(pk, axis, axis=1, tiled=True) for pk in xp
+            ]
+            hc, xp, vp = blocked_layer_forward(
+                lp, h_all, xp_all, vp,
+                n_heads=n_heads, update=upd, block_size=block_size,
+                matmul_dtype=matmul_dtype,
+                receiver_offset=offset, n_receivers=n_local,
+            )
+        out = _readout(p, hc, mm)
+        return out, jnp.concatenate(xp, axis=-1)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, axis, None)),
+        out_specs=(P(None, axis, None), P(None, axis, None)),
+        check_vma=False,
+    )
+    return fn(h, x)

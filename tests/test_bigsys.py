@@ -1,0 +1,91 @@
+"""Blocked / atom-sharded large-system execution must match the dense path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sake_tpu.bigsys import atom_sharded_forward, blocked_model_forward
+from sake_tpu.kernels import model_forward, model_params_from_linen
+from sake_tpu.models import SAKEModel
+from sake_tpu.parallel import make_mesh
+
+TOL = dict(rtol=5e-4, atol=5e-5)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.RandomState(0)
+    B, N, F = 2, 64, 5
+    h = jnp.asarray(rng.randn(B, N, F), jnp.float32)
+    x = jnp.asarray(rng.randn(B, N, 3) * 2.0, jnp.float32)
+    model = SAKEModel(hidden_features=16, out_features=1, depth=2)
+    params = model.init(jax.random.PRNGKey(0), h[0], x[0])
+    kp = model_params_from_linen(params)
+    return kp, h, x
+
+
+def test_blocked_matches_dense(setup):
+    kp, h, x = setup
+    out_d, x_d, v_d = model_forward(kp, h, x)
+    out_b, x_b, v_b = blocked_model_forward(kp, h, x, block_size=16)
+    np.testing.assert_allclose(out_b, out_d, **TOL)
+    np.testing.assert_allclose(x_b, x_d, **TOL)
+    np.testing.assert_allclose(v_b, v_d, **TOL)
+
+
+def test_blocked_masked(setup):
+    kp, h, x = setup
+    rng = np.random.RandomState(1)
+    node_mask = jnp.asarray(rng.rand(*h.shape[:2]) > 0.2, jnp.float32)
+    mask = node_mask[:, :, None] * node_mask[:, None, :]
+    out_d, x_d, _ = model_forward(kp, h, x, mask=mask)
+    out_b, x_b, _ = blocked_model_forward(kp, h, x, block_size=16, mask=mask)
+    m = node_mask[..., None]
+    np.testing.assert_allclose(out_b * m, out_d * m, **TOL)
+    np.testing.assert_allclose(x_b * m, x_d * m, **TOL)
+
+
+def test_blocked_forces_match(setup):
+    """Gradients (forces) through the blocked path equal the dense path."""
+    kp, h, x = setup
+
+    def e_dense(x_):
+        out, _, _ = model_forward(kp, h, x_)
+        return out.sum()
+
+    def e_blocked(x_):
+        out, _, _ = blocked_model_forward(kp, h, x_, block_size=16)
+        return out.sum()
+
+    g_d = jax.grad(e_dense)(x)
+    g_b = jax.grad(e_blocked)(x)
+    np.testing.assert_allclose(g_b, g_d, rtol=2e-3, atol=2e-4)
+
+
+def test_atom_sharded_matches_dense(setup):
+    kp, h, x = setup
+    mesh = make_mesh()
+    out_d, x_d, _ = model_forward(kp, h, x)
+    out_s, x_s = jax.jit(
+        lambda h_, x_: atom_sharded_forward(kp, h_, x_, mesh, block_size=8)
+    )(h, x)
+    np.testing.assert_allclose(out_s, out_d, **TOL)
+    np.testing.assert_allclose(x_s, x_d, **TOL)
+
+
+def test_atom_sharded_forces(setup):
+    kp, h, x = setup
+    mesh = make_mesh()
+
+    def e_sharded(x_):
+        out, _ = atom_sharded_forward(kp, h, x_, mesh, block_size=8)
+        return out.sum()
+
+    def e_dense(x_):
+        out, _, _ = model_forward(kp, h, x_)
+        return out.sum()
+
+    g_s = jax.jit(jax.grad(e_sharded))(x)
+    g_d = jax.grad(e_dense)(x)
+    np.testing.assert_allclose(g_s, g_d, rtol=2e-3, atol=2e-4)
