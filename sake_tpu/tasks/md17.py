@@ -144,6 +144,20 @@ def run(cfg: MD17Config, logger: Optional[MetricLogger] = None):
         if cfg.checkpoint_dir
         else None
     )
+    # kill-and-resume: restore the full train state from the latest
+    # checkpoint (the reference's restart pattern, ani_mpi/run_mpi.py:110)
+    if ckpt and ckpt.latest_step() is not None:
+        template = jax.device_get(
+            {"step": state.step, "params": state.params, "opt_state": state.opt_state}
+        )
+        restored = ckpt.restore(template)
+        state = state.replace(
+            step=jnp.asarray(restored["step"]),
+            params=jax.tree.map(jnp.asarray, restored["params"]),
+            opt_state=jax.tree.map(jnp.asarray, restored["opt_state"]),
+        )
+        logger.log(int(state.step), resumed_from=int(restored["step"]))
+
     n_blocks = cfg.n_epochs // cfg.epochs_per_block
     t0 = time.time()
     for block in range(n_blocks):
@@ -155,7 +169,13 @@ def run(cfg: MD17Config, logger: Optional[MetricLogger] = None):
             wall=round(time.time() - t0, 2),
         )
         if ckpt and (block + 1) % cfg.checkpoint_every_blocks == 0:
-            ckpt.save(int(state.step), jax.device_get(state.params))
+            ckpt.save(
+                int(state.step),
+                jax.device_get(
+                    {"step": state.step, "params": state.params,
+                     "opt_state": state.opt_state}
+                ),
+            )
     if ckpt:
         ckpt.wait()
 
@@ -175,6 +195,51 @@ def run(cfg: MD17Config, logger: Optional[MetricLogger] = None):
     }
     logger.log(int(state.step), **{k: v for k, v in results.items() if not isinstance(v, tuple)})
     return state, results
+
+
+def select_best_checkpoint(cfg: MD17Config, params_like=None):
+    """Checkpoint-series model selection (the md17_traj pattern,
+    reference ``scripts/md17_traj/eval.py:60-78``): evaluate every saved
+    checkpoint's validation force-MAE and return (best_step, best_params,
+    per_step_mae)."""
+    assert cfg.checkpoint_dir, "needs a checkpoint_dir"
+    data = load_md17(cfg.molecule, cfg.data_dir, n_samples=cfg.n_train + 2 * cfg.n_valid)
+    x_vl = jnp.asarray(data.x[cfg.n_train : cfg.n_train + cfg.n_valid])
+    f_vl = jnp.asarray(data.f[cfg.n_train : cfg.n_train + cfg.n_valid])
+    e_tr = data.e[: cfg.n_train]
+    species = jax.nn.one_hot(data.z, data.z.max())
+    model = make_model(cfg)
+    if params_like is None:
+        params_like = jax.jit(model.init)(
+            jax.random.PRNGKey(cfg.seed),
+            jnp.broadcast_to(species, (data.x.shape[1], species.shape[-1])),
+            jnp.asarray(data.x[0]),
+        )
+        params_like = jax.device_get(params_like)
+    ef_fn = jax.jit(
+        make_energy_force_fn(model, species, float(e_tr.mean()), float(e_tr.std()))
+    )
+    total_steps = (cfg.n_train // cfg.batch_size) * cfg.n_epochs
+    tx = make_optimizer(warmup_cosine_schedule(cfg.learning_rate, total_steps))
+    state_like = jax.device_get(
+        TrainState.create(apply_fn=model.apply, params=params_like, tx=tx)
+    )
+    template = {
+        "step": state_like.step,
+        "params": state_like.params,
+        "opt_state": state_like.opt_state,
+    }
+    scores = {}
+    best = (None, None, float("inf"))
+    with Checkpointer(cfg.checkpoint_dir) as ckpt:
+        for step in ckpt.all_steps():
+            params = ckpt.restore(template, step=step)["params"]
+            _, f_pred = ef_fn(params, x_vl)
+            mae = float(jnp.abs(f_pred - f_vl).mean())
+            scores[step] = mae
+            if mae < best[2]:
+                best = (step, params, mae)
+    return best[0], best[1], scores
 
 
 if __name__ == "__main__":

@@ -89,3 +89,32 @@ def test_atom_sharded_forces(setup):
     g_s = jax.jit(jax.grad(e_sharded))(x)
     g_d = jax.grad(e_dense)(x)
     np.testing.assert_allclose(g_s, g_d, rtol=2e-3, atol=2e-4)
+
+
+def test_dp_atom_sharded_step_matches_oracle(setup):
+    """2D (data x atoms) sharded training step: loss and parameter grads
+    equal the unsharded computation (collective accounting is subtle —
+    see the pmean note in bigsys.dp_atom_sharded_loss_step)."""
+    from sake_tpu.bigsys import dp_atom_sharded_loss_step
+
+    kp, h, x = setup
+    h, x = h[:2], x[:2]
+    # batch 2 over data=2, atoms 64 over sp=4
+    mesh = make_mesh((("data", 2), ("sp", 4)))
+    rng = np.random.RandomState(3)
+    y = jnp.asarray(rng.randn(2, 1), jnp.float32)
+    step = jax.jit(dp_atom_sharded_loss_step(kp, mesh, block_size=16))
+    loss, grads = step(kp, {"h": h, "x": x, "y": y})
+
+    def ref_loss(kp_):
+        out, _, _ = model_forward(kp_, h, x)
+        e = out.sum(axis=(-2, -1))[:, None]
+        return ((e - y) ** 2).mean()
+
+    loss_ref, grads_ref = jax.value_and_grad(ref_loss)(kp)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5),
+        grads,
+        grads_ref,
+    )
