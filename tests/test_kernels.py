@@ -97,3 +97,38 @@ def test_fused_kernel_interpret(setup):
     )
     np.testing.assert_allclose(e, e_ref, **TOL)
     np.testing.assert_allclose(f, -g, **TOL)
+
+
+def test_split_kernels_interpret(setup):
+    """The split Pallas ops (edge+attention / coeff+pool) with custom VJPs
+    must reproduce E and F in interpreter mode."""
+    from sake_tpu.kernels.split_ef import split_energy_forces
+
+    model, params, kp, h, x = setup
+
+    def energy(x_):
+        out, _, _ = model.apply(params, h, x_)
+        return out.sum(), out.sum(axis=(-2, -1))
+
+    (_, e_ref), g = jax.value_and_grad(energy, has_aux=True)(x)
+    e, f = split_energy_forces(
+        kp, h, x, batch_tile_edge=2, batch_tile_pool=2, interpret=True
+    )
+    np.testing.assert_allclose(e, e_ref, **TOL)
+    np.testing.assert_allclose(f, -g, **TOL)
+
+
+def test_merged_kernel_interpret(setup):
+    """The merged chunked edge-pipeline op must reproduce E and F."""
+    from sake_tpu.kernels.split_ef import merged_energy_forces
+
+    model, params, kp, h, x = setup
+
+    def energy(x_):
+        out, _, _ = model.apply(params, h, x_)
+        return out.sum(), out.sum(axis=(-2, -1))
+
+    (_, e_ref), g = jax.value_and_grad(energy, has_aux=True)(x)
+    e, f = merged_energy_forces(kp, h, x, io_tile=4, chunk=2, interpret=True)
+    np.testing.assert_allclose(e, e_ref, **TOL)
+    np.testing.assert_allclose(f, -g, **TOL)
