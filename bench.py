@@ -49,10 +49,12 @@ def build(batch: int):
     return ef, params, x
 
 
-def build_fused(batch: int, batch_tile: int = 8, matmul_dtype=None):
-    """Pallas fused-kernel E+F callable + inputs."""
+def build_fused(batch: int, io_tile: int = 64, chunk: int = 2):
+    """Pallas merged-kernel E+F callable + inputs, plus a lax oracle for
+    verification (a kernel number only counts if it computes the truth)."""
     from sake_tpu.data.md17 import ASPIRIN_Z
-    from sake_tpu.kernels import fused_energy_forces, model_params_from_linen
+    from sake_tpu.kernels import model_params_from_linen
+    from sake_tpu.kernels.split_ef import merged_energy_forces
 
     ef_lax, params, x = build(batch)
     kp = model_params_from_linen(params)
@@ -62,11 +64,9 @@ def build_fused(batch: int, batch_tile: int = 8, matmul_dtype=None):
         jnp.float32
     )
     ef = jax.jit(
-        lambda p, xx: fused_energy_forces(
-            p, h, xx, batch_tile=batch_tile, matmul_dtype=matmul_dtype
-        )
+        lambda p, xx: merged_energy_forces(p, h, xx, io_tile=io_tile, chunk=chunk)
     )
-    return ef, kp, x
+    return ef, kp, x, ef_lax, params
 
 
 def measure(ef, params, x, min_seconds: float = 2.0) -> float:
@@ -82,13 +82,32 @@ def measure(ef, params, x, min_seconds: float = 2.0) -> float:
     return n_iter * x.shape[0] / elapsed
 
 
+def _fused_main(batch: int):
+    """Subprocess entry: compile, VERIFY against the lax oracle, measure
+    honestly (block every call), print the result."""
+    import numpy as _np
+
+    ef, kp, x, ef_lax, params = build_fused(batch)
+    e, f = ef(kp, x)
+    jax.block_until_ready((e, f))
+    e_ref, f_ref = ef_lax(params, x)
+    f_err = float(jnp.abs(f - f_ref).max())
+    f_scale = float(jnp.abs(f_ref).max()) + 1e-12
+    if f_err / f_scale > 1e-2:
+        print(f"FUSED_REJECTED f_err={f_err} scale={f_scale}")
+        return
+    times = []
+    for _ in range(20):
+        t = time.perf_counter()
+        e, f = ef(kp, x)
+        jax.block_until_ready((e, f))
+        times.append(time.perf_counter() - t)
+    print("FUSED_RESULT", batch / float(_np.median(times)))
+
+
 def _fused_subprocess(batch: int, timeout: float):
     """Measure the fused kernel in a killable subprocess; None on failure."""
-    code = (
-        "import bench, json; "
-        f"ef, kp, x = bench.build_fused({batch}); "
-        "print('FUSED_RESULT', bench.measure(ef, kp, x))"
-    )
+    code = f"import bench; bench._fused_main({batch})"
     try:
         out = subprocess.run(
             [sys.executable, "-c", code],
