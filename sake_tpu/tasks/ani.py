@@ -47,8 +47,14 @@ class ANIConfig:
     seed: int = 2666
 
     def __post_init__(self):
-        if self.update is None:
-            self.update = [False] * (self.depth - 2) + [True] * 2
+        # default schedule: message-passing-only early layers, updates last
+        # (scripts/ani/run.py:70). Rebuilt whenever it no longer matches
+        # depth (e.g. after dataclasses.replace(depth=...)).
+        if self.update is None or (
+            isinstance(self.update, list) and len(self.update) != self.depth
+        ):
+            k = min(2, self.depth)
+            self.update = [False] * (self.depth - k) + [True] * k
 
 
 class ANIModel(nn.Module):

@@ -176,7 +176,7 @@ def run(cfg: QM9Config, logger: Optional[MetricLogger] = None):
 
     def predict(split):
         preds = []
-        bs = max(cfg.batch_size, 64)
+        bs = min(max(cfg.batch_size, 64), len(split["x"]))
         n = len(split["x"]) // bs * bs
         for s in range(0, n, bs):
             sl = jax.tree.map(lambda a: a[s : s + bs], split)

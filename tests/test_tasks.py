@@ -1,0 +1,55 @@
+"""End-to-end smoke tests for every workload family (tiny configs, CPU).
+
+These exercise the full task surface — data synthesis/loading, collation,
+training loops, NaN containment, checkpointing, eval — the way a user
+runs them (`tasks.registry`)."""
+
+import math
+
+import pytest
+
+from sake_tpu.tasks.registry import get_workload, list_workloads
+
+
+def _finite(results):
+    for k, v in results.items():
+        if isinstance(v, float):
+            assert math.isfinite(v), f"{k} not finite"
+
+
+def test_registry_lists_all_reference_families():
+    names = list_workloads()
+    for required in [
+        "nbody", "md17", "md17_traj", "md17_forecast", "iso17", "qm9",
+        "qm9_tpu", "qm9_aug", "ani", "oc20", "dw4", "dw4_aug", "lj13_aug",
+        "motion", "ablation_egnn", "ablation_no_euclidean",
+        "ablation_no_semantic", "ablation_no_spatial", "ablation_no_update",
+    ]:
+        assert required in names
+
+
+TINY = {
+    "nbody": dict(hidden_features=8, depth=2, n_epochs=2, epochs_per_block=1,
+                  n_train=100, n_valid=50, n_test=50, batch_size=50),
+    "md17": dict(hidden_features=8, depth=2, n_epochs=2, epochs_per_block=1,
+                 n_train=16, n_valid=8, batch_size=8),
+    "iso17": dict(hidden_features=8, depth=2, n_epochs=2, epochs_per_block=1,
+                  n_train=16, batch_size=8),
+    "qm9": dict(hidden_features=8, depth=2, n_epochs=1, n_samples=256,
+                batch_size=32, data_parallel=False),
+    "ani": dict(hidden_features=8, depth=2, n_epochs=1, n_samples=128,
+                batch_size=8, max_buckets=3),
+    "oc20": dict(hidden_features=8, depth=2, n_epochs=1, n_samples=64,
+                 batch_size=4, max_buckets=2),
+    "motion": dict(hidden_features=8, depth=2, n_epochs=1, epochs_per_block=1,
+                   n_samples=60, batch_size=12),
+    "dw4_aug": dict(depth=1, mp_depth=1, hidden_features=8, n_epochs=1,
+                    epochs_per_block=1, n_train=100, n_test=50, batch_size=50),
+}
+
+
+@pytest.mark.parametrize("name", sorted(TINY))
+def test_workload_smoke(name):
+    run, cfg = get_workload(name, **TINY[name])
+    _, results = run(cfg)
+    _finite(results)
