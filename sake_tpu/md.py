@@ -1,0 +1,84 @@
+"""Molecular-dynamics rollouts, entirely on device.
+
+The north-star capability (BASELINE.json): trajectory stepping with no
+host round trips. Two integrators, both ``lax.scan`` programs:
+
+- ``velocity_verlet_rollout`` — classical symplectic MD driven by a
+  learned force field ``(params, x) -> (e, f)`` (e.g. the MD17 model's
+  fused E+F evaluation, lax or Pallas path).
+- ``learned_integrator_rollout`` — the SAKE-native alternative: a
+  ``update=True`` model IS a learned integrator (depth D = D internal
+  steps, ``sake/models.py:56-61``); rolling it out autoregressively gives
+  md17_forecast/nbody-style trajectories.
+
+Both return stacked trajectories ``(n_steps, ..., N, 3)``; wrap in jit and
+the whole rollout is one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def velocity_verlet_rollout(
+    energy_forces_fn: Callable,
+    params,
+    x0: jax.Array,  # (..., N, 3)
+    v0: jax.Array,  # (..., N, 3)
+    masses: jax.Array,  # (N,) or (..., N)
+    dt: float,
+    n_steps: int,
+    sample_every: int = 1,
+):
+    """Velocity-Verlet integration of ``f = -dE/dx``.
+
+    Returns ``(xs, vs, es)`` stacked every ``sample_every`` steps:
+    ``xs (n_samples, ..., N, 3)``, ``es (n_samples, ...)``.
+    """
+    inv_m = (1.0 / masses)[..., None]
+
+    def step(carry, _):
+        x, v, f = carry
+        v_half = v + 0.5 * dt * f * inv_m
+        x_new = x + dt * v_half
+        e_new, f_new = energy_forces_fn(params, x_new)
+        v_new = v_half + 0.5 * dt * f_new * inv_m
+        return (x_new, v_new, f_new), None
+
+    def sample(carry, _):
+        carry, _ = jax.lax.scan(step, carry, None, length=sample_every)
+        x, v, f = carry
+        e, _ = energy_forces_fn(params, x)
+        return carry, (x, v, e)
+
+    _, f0 = energy_forces_fn(params, x0)
+    n_samples = n_steps // sample_every
+    _, (xs, vs, es) = jax.lax.scan(
+        sample, (x0, v0, f0), None, length=n_samples
+    )
+    return xs, vs, es
+
+
+def learned_integrator_rollout(
+    apply_fn: Callable,
+    params,
+    h: jax.Array,  # (..., N, F)
+    x0: jax.Array,  # (..., N, 3)
+    v0: Optional[jax.Array],
+    n_steps: int,
+):
+    """Autoregressive rollout of an ``update=True`` model: each application
+    advances (x, v) by one macro-step (D learned sub-steps). Returns
+    ``(xs, vs)`` with leading axis ``n_steps``."""
+    v0 = v0 if v0 is not None else jnp.zeros_like(x0)
+
+    def step(carry, _):
+        x, v = carry
+        _, x_new, v_new = apply_fn(params, h, x, v)
+        return (x_new, v_new), (x_new, v_new)
+
+    _, (xs, vs) = jax.lax.scan(step, (x0, v0), None, length=n_steps)
+    return xs, vs
