@@ -11,11 +11,14 @@ north-star target (>= 1.0 means target met).
 
 Two implementations are measured and the best is reported:
 - ``lax``   — the XLA-compiled linen path (always runs; fast compile).
-- ``fused`` — the Pallas whole-model VMEM kernel. Mosaic compile on this
-  environment's remote-compile service can take tens of minutes cold (it
-  is server-cached after the first build), so the attempt runs in a
-  subprocess bounded by ``SAKE_BENCH_FUSED_TIMEOUT`` seconds (default
-  1200; 0 disables the fused attempt).
+- ``fused`` — the Pallas merged edge-pipeline kernel, attempted in a
+  subprocess bounded by ``SAKE_BENCH_FUSED_TIMEOUT`` seconds and VERIFIED
+  against the lax oracle before its number can count. Disabled by default
+  (timeout 0): measured on this environment it is correct but ~2.3x
+  slower than lax — Mosaic's per-grid-step/per-chunk loop overhead (~50us
+  per 0.5us-compute chunk) dominates at these tiny-molecule shapes, and
+  the compile service is flaky (see CLAUDE.md). Kept as the starting
+  point for the next round of kernel work.
 """
 
 import json
@@ -129,7 +132,7 @@ def main():
     ef, params, x = build(batch)
     value, impl = measure(ef, params, x), "lax"
 
-    fused_timeout = float(os.environ.get("SAKE_BENCH_FUSED_TIMEOUT", "1200"))
+    fused_timeout = float(os.environ.get("SAKE_BENCH_FUSED_TIMEOUT", "0"))
     if fused_timeout > 0:
         fused = _fused_subprocess(batch, fused_timeout)
         if fused is not None and fused > value:

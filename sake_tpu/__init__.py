@@ -23,7 +23,7 @@ matches the reference at fp32 tolerance; see ``tests/test_reference_parity``.
 """
 
 from sake_tpu import geometry, radial, layers, models, flows, utils
-from sake_tpu import kernels, parallel, train, data
+from sake_tpu import kernels, parallel, train, data, bigsys, md, compat
 
 # Reference-compatible aliases (reference: sake/__init__.py:1 re-exports
 # functional, utils, layers, models, flows).
@@ -41,6 +41,9 @@ __all__ = [
     "parallel",
     "train",
     "data",
+    "bigsys",
+    "md",
+    "compat",
 ]
 
 __version__ = "0.1.0"
