@@ -86,7 +86,6 @@ class BucketedDataset:
         self,
         samples: Sequence[Dict[str, np.ndarray]],
         max_buckets: int = 6,
-        pad_value_keys: Sequence[str] = (),
     ):
         sizes = [next(iter(s.values())).shape[0] for s in samples]
         self.edges = make_bucket_edges(sizes, max_buckets)

@@ -14,9 +14,11 @@ TPU/Mosaic-specific reformulations (same math, hardware-shaped):
   ``concat(h_j, h_i) @ W = (h @ W_top)_j + (h @ W_bot)_i`` — an N-fold
   FLOP cut on the widest matmuls vs the reference's per-edge form
   (``sake/layers.py:30``).
-- **Coordinate planes.** Positions/velocities/forces are threaded as three
-  ``(B, N)`` planes; a 3-wide minor dimension maps terribly onto 128-lane
-  vregs, and Mosaic rejects several of the reshapes it would force.
+- **Coordinate planes, keepdims style.** Positions/velocities/forces are
+  threaded as three ``(B, N, 1)`` planes; a 3-wide minor dimension maps
+  terribly onto 128-lane vregs, and minor singleton dims are never
+  created/removed mid-graph (the AD transposes of such expands are
+  squeeze-reshapes Mosaic rejects).
 - **Per-head splitting instead of (H*K)-flattening.** The attended edge
   tensor ``h_e (x) att`` is never reshaped to width H*K (a minor-dims
   shape cast Mosaic refuses); its consumers (x_mixing, aggregation, node
@@ -337,7 +339,7 @@ def energy_and_forces_planes(
     edge tensors — the property that lets the whole model fit in VMEM.
 
     Returns ``(e, f_planes)``: per-molecule raw energy ``(B,)`` and force
-    planes ``3 x (B, N)`` (``f = -dE/dx``).
+    planes ``3 x (B, N, 1)`` (``f = -dE/dx``).
     """
     depth = len(p.layers)
     updates = [update] * depth if isinstance(update, bool) else list(update)

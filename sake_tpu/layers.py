@@ -18,7 +18,6 @@ tensors (the sender axis ``j``) is normalized/reduced over.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

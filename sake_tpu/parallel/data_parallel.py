@@ -15,7 +15,6 @@ device-resident program with a single host round trip per block.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
@@ -26,7 +25,7 @@ try:  # jax >= 0.7 stable API
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from sake_tpu.train.loop import scan_epoch, shuffle_batches
+from sake_tpu.train.loop import scan_epoch
 
 
 def make_dp_step(

@@ -98,7 +98,7 @@ def run(cfg: AblationConfig, logger: Optional[MetricLogger] = None):
         (_, e), neg_f = jax.value_and_grad(energy_sum, argnums=0, has_aux=True)(x)
         return e[..., None], -neg_f
 
-    step_fn = make_step_fn(ef_fn, tx, cfg.energy_loss_weight)
+    step_fn = make_step_fn(ef_fn, cfg.energy_loss_weight)
     dset = {"x": jnp.asarray(x_tr), "e": jnp.asarray(e_tr), "f": jnp.asarray(f_tr)}
 
     @partial(jax.jit, donate_argnums=0)

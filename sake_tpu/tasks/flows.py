@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sake_tpu.data.particles import load_dw4, load_lj13
-from sake_tpu.flows import AugmentedFlowModel, CenteredGaussian, ODEFlow
+from sake_tpu.flows import AugmentedFlowModel, ODEFlow
 from sake_tpu.models import SAKEModel
 from sake_tpu.train import TrainState, make_optimizer, scan_epochs
 from sake_tpu.train.metrics import MetricLogger

@@ -64,7 +64,7 @@ def run(cfg: ISO17Config, logger: Optional[MetricLogger] = None):
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
     ef_fn = make_energy_force_fn(model, species, e_mean, e_std)
-    step_fn = make_step_fn(ef_fn, tx, cfg.energy_loss_weight)
+    step_fn = make_step_fn(ef_fn, cfg.energy_loss_weight)
     data = {"x": jnp.asarray(x_tr), "e": jnp.asarray(e_tr), "f": jnp.asarray(f_tr)}
 
     @partial(jax.jit, donate_argnums=0)

@@ -85,7 +85,7 @@ def make_energy_force_fn(model: SAKEModel, species_onehot, e_mean, e_std):
     return energy_and_forces
 
 
-def make_step_fn(ef_fn, tx, energy_loss_weight):
+def make_step_fn(ef_fn, energy_loss_weight):
     def loss_fn(params, batch):
         e_pred, f_pred = ef_fn(params, batch["x"])
         e_loss = jnp.abs(e_pred - batch["e"]).mean()
@@ -122,7 +122,7 @@ def run(cfg: MD17Config, logger: Optional[MetricLogger] = None):
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
     ef_fn = make_energy_force_fn(model, species, e_mean, e_std)
-    step_fn = make_step_fn(ef_fn, tx, cfg.energy_loss_weight)
+    step_fn = make_step_fn(ef_fn, cfg.energy_loss_weight)
     train_data = {
         "x": jnp.asarray(x_tr),
         "e": jnp.asarray(e_tr),

@@ -19,8 +19,7 @@ here):
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import List, Optional, Union
 
 import jax
@@ -29,7 +28,7 @@ import numpy as np
 
 from sake_tpu.data.qm9 import dimenet_split, load_qm9
 from sake_tpu.models import GraphPropertyHead, SAKEModel
-from sake_tpu.parallel import make_dp_epoch, make_mesh, replicate_state, shard_batch
+from sake_tpu.parallel import make_dp_epoch, make_mesh, replicate_state
 from sake_tpu.train import TrainState, make_optimizer, notfinite_count
 from sake_tpu.train.metrics import MetricLogger, bootstrap_mae
 from sake_tpu.utils import coloring

@@ -1,12 +1,8 @@
 """Training-subsystem tests: loops, optimizers, checkpointing, collation."""
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
-import pytest
 
 from sake_tpu.data.collate import (
     BucketedCollater,
