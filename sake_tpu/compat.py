@@ -24,9 +24,13 @@ reference path                       sake_tpu path
 ``edge_att.layers_0`` (EGNN gate)    ``edge_gate`` (unwrapped)
 ===================================  ==================================
 
+Flow couplings: the reference's ``xv_{i}``/``vx_{i}`` per-layer subtrees
+are stacked into the single scanned ``couplings`` stack (leading axis
+``2*depth`` in forward application order ``[xv_{D-1}, vx_{D-1}, ...,
+xv_0, vx_0]`` — see ``flows.AugmentedFlowModel``).
+
 Everything else (``embedding_in``, ``edge_model`` CFConv children,
-``v_mixing``, ``log_gamma``, ``xv_{i}``/``vx_{i}``, leaf arrays) passes
-through unchanged.
+``v_mixing``, ``log_gamma``, leaf arrays) passes through unchanged.
 """
 
 from __future__ import annotations
@@ -62,10 +66,32 @@ _SPLIT_PAIR = {
 _RENAME = {"sake_model": "conditioner"}
 
 
+def _stack_flow_couplings(tree: Mapping) -> dict:
+    """Stack the reference flow's per-layer ``xv_i``/``vx_i`` subtrees into
+    the scanned ``couplings`` parameter stack (forward application order)."""
+    import jax
+    import jax.numpy as jnp
+
+    depth = sum(1 for k in tree if re.fullmatch(r"xv_\d+", k))
+    ordered = []
+    for i in reversed(range(depth)):
+        ordered.append(convert_reference_params(tree[f"xv_{i}"]))
+        ordered.append(convert_reference_params(tree[f"vx_{i}"]))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *ordered)
+
+
 def convert_reference_params(tree: Any) -> Any:
     """Recursively convert a reference param (sub)tree to sake_tpu naming."""
     if not isinstance(tree, Mapping):
         return tree
+    if any(re.fullmatch(r"xv_\d+", k) for k in tree):
+        out = {
+            k: convert_reference_params(v)
+            for k, v in tree.items()
+            if not re.fullmatch(r"(xv|vx)_\d+", k)
+        }
+        out["couplings"] = _stack_flow_couplings(tree)
+        return out
     out: dict = {}
     for k, v in tree.items():
         m = re.fullmatch(r"d(\d+)", k)

@@ -174,11 +174,24 @@ class AugmentedFlowLayer(nn.Module):
 
 
 class AugmentedFlowModel(nn.Module):
-    """Stack of (x->v, v->x) coupling pairs.
+    """Stack of alternating coupling layers, scanned on-device.
 
-    ``f_forward`` iterates the pairs reversed and ``f_backward`` in forward
-    order so the two are exact inverses; both accumulate the summed
-    log-determinant (reference: ``sake/flows.py:146-188``).
+    Capability parity with the reference's ``depth`` pairs of (x->v, v->x)
+    couplings (``sake/flows.py:146-188``), restructured TPU-first: the
+    reference (and our round-1 port) unrolled ``2*depth`` separately traced
+    conditioner models per direction — compile time linear in depth. Here
+    the ``2*depth`` coupling layers share ONE traced conditioner
+    (``nn.scan`` over a parameter stack with a leading coupling axis), and
+    every step is the uniform move "transform ``b`` conditioned on ``a``,
+    then swap roles" — after an even number of steps the (x, v) roles are
+    restored. ``f_backward`` runs the same scan with ``reverse=True``
+    (flax slices the stacked parameters in reversed order), making the two
+    exact inverses.
+
+    Parameter layout: ``couplings/...`` leaves carry a leading ``2*depth``
+    axis in *forward application order* ``[xv_{D-1}, vx_{D-1}, ...,
+    xv_0, vx_0]`` (see ``compat.convert_reference_params`` for loading
+    reference checkpoints into this layout).
     """
 
     depth: int = 3
@@ -186,36 +199,44 @@ class AugmentedFlowModel(nn.Module):
     hidden_features: int = 64
     activation: Callable = nn.silu
 
-    def setup(self):
-        self.xv_layers = [
-            AugmentedFlowLayer(
-                self.hidden_features, self.mp_depth, name=f"xv_{i}"
-            )
-            for i in range(self.depth)
-        ]
-        self.vx_layers = [
-            AugmentedFlowLayer(
-                self.hidden_features, self.mp_depth, name=f"vx_{i}"
-            )
-            for i in range(self.depth)
-        ]
+    @nn.compact
+    def _coupling_step(self, carry, h, inverse):
+        """One coupling move on carry ``(a, b, sum_log_det)``: transform
+        ``b`` conditioned on ``a`` (forward affine or its inverse, selected
+        by the traced ``inverse`` flag — ``mp`` is shared), then swap."""
+        a, b, sum_log_det = carry
+        layer = AugmentedFlowLayer(
+            self.hidden_features, self.mp_depth, self.activation,
+            name="couplings",
+        )
+        scale, translation = layer.mp(h, a)
+        b_fwd = jnp.exp(scale) * b + translation
+        b_bwd = jnp.exp(-scale) * (b - translation)
+        b = jnp.where(inverse, b_bwd, b_fwd)
+        log_det = scale.sum((-1, -2)) * b.shape[-1] * b.shape[-2]
+        return (b, a, sum_log_det + log_det), None
+
+    def _scan(self, h, a, b, inverse, reverse):
+        scan = nn.scan(
+            AugmentedFlowModel._coupling_step,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=nn.broadcast,
+            length=2 * self.depth,
+            reverse=reverse,
+        )
+        ld0 = jnp.zeros(a.shape[:-2], a.dtype)
+        (a, b, sum_log_det), _ = scan(self, (a, b, ld0), h, inverse)
+        return a, b, sum_log_det
 
     def f_forward(self, h, x, v):
-        sum_log_det = 0.0
-        for xv, vx in zip(self.xv_layers[::-1], self.vx_layers[::-1]):
-            x, v, log_det = xv.f_forward(h, x, v)
-            sum_log_det = sum_log_det + log_det
-            v, x, log_det = vx.f_forward(h, v, x)
-            sum_log_det = sum_log_det + log_det
-        return x, v, sum_log_det
+        return self._scan(h, x, v, jnp.asarray(False), reverse=False)
 
     def f_backward(self, h, x, v):
-        sum_log_det = 0.0
-        for xv, vx in zip(self.xv_layers, self.vx_layers):
-            v, x, log_det = vx.f_backward(h, v, x)
-            sum_log_det = sum_log_det + log_det
-            x, v, log_det = xv.f_backward(h, x, v)
-            sum_log_det = sum_log_det + log_det
+        # first move transforms x conditioned on v (the reference's
+        # ``vx.f_backward(h, v, x)``), so the carry starts role-swapped;
+        # 2*depth swaps restore (x, v) order on exit.
+        v, x, sum_log_det = self._scan(h, v, x, jnp.asarray(True), reverse=True)
         return x, v, sum_log_det
 
     def __call__(self, h, x, v):
