@@ -132,3 +132,57 @@ class BucketedCollater:
         return sum(
             n // self.batch_size for n in self.ds.sizes().values()
         )
+
+    def epoch_groups(self) -> Iterator[Tuple[int, Dict[str, np.ndarray]]]:
+        """One epoch as per-bucket *stacked* batch groups.
+
+        Yields ``(bucket_edge, group)`` where each ``group`` leaf has shape
+        ``(n_batches, batch_size, ...)`` — the form a ``lax.scan`` epoch
+        consumes on device. Samples are reshuffled within each bucket and
+        the bucket order is reshuffled each epoch. Replaces the per-batch
+        host loop (the reference dispatched one pmap per batch,
+        ``scripts/ani/run_tpu.py:132-134``; a scanned group is ONE
+        dispatch per bucket), with at most ``len(ds.buckets)`` XLA
+        programs since ``n_batches`` per bucket is constant across epochs.
+        """
+        edges = list(self.ds.buckets)
+        self._rng.shuffle(edges)
+        for e in edges:
+            bucket = self.ds.buckets[e]
+            n = next(iter(bucket.values())).shape[0]
+            n_b = n // self.batch_size
+            if n_b == 0:
+                continue
+            take = self._rng.permutation(n)[: n_b * self.batch_size].reshape(
+                n_b, self.batch_size
+            )
+            yield e, {k: v[take] for k, v in bucket.items()}
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Double-buffered host->device feed (the capability of
+    ``flax.jax_utils.prefetch_to_device``, ``scripts/ani/run_gpu.py:135-136``).
+
+    Eagerly starts ``size`` async ``jax.device_put`` transfers ahead of the
+    consumer, so host collation and H2D DMA overlap device compute.
+    Non-array leaves pass through untouched.
+    """
+    import collections
+
+    import jax
+
+    def put(tree):
+        return jax.tree.map(
+            lambda a: jax.device_put(a, sharding)
+            if isinstance(a, (np.ndarray, jax.Array))
+            else a,
+            tree,
+        )
+
+    queue = collections.deque()
+    for item in iterator:
+        queue.append(put(item))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -24,9 +24,13 @@ import numpy as np
 from flax import linen as nn
 
 from sake_tpu.data.ani import ANI_SPECIES, load_ani, to_bucket_samples
-from sake_tpu.data.collate import BucketedCollater, BucketedDataset
+from sake_tpu.data.collate import (
+    BucketedCollater,
+    BucketedDataset,
+    prefetch_to_device,
+)
 from sake_tpu.models import SAKEModel
-from sake_tpu.parallel import make_dp_step, make_mesh, replicate_state, shard_batch
+from sake_tpu.parallel import make_dp_epoch, make_mesh, replicate_state
 from sake_tpu.train import TrainState, make_optimizer
 from sake_tpu.train.metrics import MetricLogger, bootstrap_mae
 
@@ -75,13 +79,21 @@ class ANIModel(nn.Module):
 
 
 def _prep_batch(batch, n_classes):
+    """Model-ready arrays from a raw bucket batch; works for a single
+    ``(B, ...)`` batch and for stacked ``(n_batches, B, ...)`` groups."""
     node_mask = (batch["z"] > 0).astype(np.float32)
     return {
         "species": jax.nn.one_hot(batch["z"], n_classes),
         "x": jnp.asarray(batch["x"]),
         "node_mask": jnp.asarray(node_mask),
-        "edge_mask": jnp.asarray(node_mask[:, :, None] * node_mask[:, None, :]),
-        "e": jnp.asarray(batch["e"][:, 0]),  # graph-level energy
+        "edge_mask": jnp.asarray(
+            node_mask[..., :, None] * node_mask[..., None, :]
+        ),
+        # graph-level energy: the per-node broadcast copy at node 0
+        # ((..., N, 1) -> (...,)). The round-1 code took [:, 0], leaving a
+        # trailing (N->1) axis that silently broadcast (B,) - (B, 1) to
+        # (B, B) in the loss — fixed.
+        "e": jnp.asarray(batch["e"][..., 0, 0]),
     }
 
 
@@ -123,30 +135,48 @@ def run(cfg: ANIConfig, logger: Optional[MetricLogger] = None):
         target = (batch["e"] - e_mean) / e_std
         return ((pred - target) ** 2).mean()
 
+    # One scanned program per bucket group: a whole bucket's batches run as
+    # one dispatch (<= max_buckets dispatches/epoch, vs the reference's one
+    # pmap per batch, scripts/ani/run_tpu.py:132-134); the prefetcher
+    # overlaps host collation + H2D transfer with device compute.
+    sharding = None
     if cfg.data_parallel and len(jax.devices()) > 1:
         mesh = make_mesh()
-        step = jax.jit(make_dp_step(loss_fn, mesh), donate_argnums=0)
+        scan_group = jax.jit(make_dp_epoch(loss_fn, mesh), donate_argnums=0)
         state = replicate_state(state, mesh)
-        place = lambda b: shard_batch(b, mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P(None, "data"))
     else:
-        @jax.jit
-        def step(state, batch):
+
+        def _step(state, batch):
             loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
             return state.apply_gradients(grads), loss
 
-        place = lambda b: b
+        @jax.jit
+        def scan_group(state, batches):
+            return jax.lax.scan(_step, state, batches)
 
     t0 = time.time()
     for epoch in range(cfg.n_epochs):
-        losses = []
-        for edge, raw in collater:
-            batch = place(_prep_batch(raw, n_classes))
-            state, loss = step(state, batch)
-            losses.append(float(jax.device_get(loss)))
+        feed = prefetch_to_device(
+            (
+                (e, _prep_batch(g, n_classes))
+                for e, g in collater.epoch_groups()
+            ),
+            size=2,
+            sharding=sharding,
+        )
+        group_losses = []
+        for edge, batches in feed:
+            state, losses = scan_group(state, batches)
+            group_losses.append(losses)  # device arrays; no per-step sync
         logger.log(
             int(jax.device_get(state.step)),
             epoch=epoch + 1,
-            train_loss=float(np.mean(losses)),
+            train_loss=float(
+                np.mean(np.concatenate([np.asarray(l).ravel() for l in group_losses]))
+            ),
             wall=round(time.time() - t0, 2),
         )
 

@@ -17,7 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sake_tpu.data.collate import BucketedCollater, BucketedDataset
+from sake_tpu.data.collate import (
+    BucketedCollater,
+    BucketedDataset,
+    prefetch_to_device,
+)
 from sake_tpu.data.oc20 import load_oc20
 from sake_tpu.data.ani import to_bucket_samples
 from sake_tpu.tasks.ani import ANIModel, ANIConfig, _prep_batch
@@ -80,21 +84,32 @@ def run(cfg: OC20Config, logger: Optional[MetricLogger] = None):
         )[..., 0]
         return ((pred - (batch["e"] - e_mean) / e_std) ** 2).mean()
 
-    @jax.jit
-    def step(state, batch):
+    def _step(state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
         return state.apply_gradients(grads), loss
 
+    # scanned per-bucket groups + prefetch: <= max_buckets dispatches/epoch
+    # (see tasks/ani.py; replaces the reference's per-batch host loop).
+    @jax.jit
+    def scan_group(state, batches):
+        return jax.lax.scan(_step, state, batches)
+
     t0 = time.time()
     for epoch in range(cfg.n_epochs):
-        losses = []
-        for _, raw in collater:
-            state, loss = step(state, _prep_batch(raw, n_classes))
-            losses.append(float(jax.device_get(loss)))
+        feed = prefetch_to_device(
+            ((e, _prep_batch(g, n_classes)) for e, g in collater.epoch_groups()),
+            size=2,
+        )
+        group_losses = []
+        for _, batches in feed:
+            state, losses = scan_group(state, batches)
+            group_losses.append(losses)
         logger.log(
             int(jax.device_get(state.step)),
             epoch=epoch + 1,
-            train_loss=float(np.mean(losses)),
+            train_loss=float(
+                np.mean(np.concatenate([np.asarray(l).ravel() for l in group_losses]))
+            ),
             wall=round(time.time() - t0, 2),
         )
 
