@@ -51,6 +51,77 @@ def _slice_j(a, j0, jn, axis=1):
     return jax.lax.dynamic_slice_in_dim(a, j0, jn, axis=axis)
 
 
+def _edge_block_vs(
+    p, mm, *, a_i, o_i, x_recv, i_ids, a_jb, o_jb, x_jb, j_ids, n_heads
+):
+    """Edge features + self-masked semantic logits between the local
+    receivers and ONE sender block (however that block arrived — a dynamic
+    slice of a gathered array, or a ring-visiting shard).
+
+    ``a_i/o_i (B, Ni, R/H)``, receiver planes ``x_recv 3x(B, Ni, 1)``;
+    block halves ``a_jb/o_jb (B, bs, R/H)``, planes ``x_jb``; ``i_ids``/
+    ``j_ids`` are global atom indices for self-pair masking.
+    Returns ``(h_e, logits, d_planes, r)`` with block shapes
+    ``(B, Ni, bs, ...)``.
+    """
+    B, Ni = a_i.shape[:2]
+    bs = a_jb.shape[1]
+    R = a_i.shape[-1]
+    H = o_i.shape[-1]
+    F2 = p.edge.w_out0.shape[0] - R - 1  # 2F rows precede the filter rows
+    d = [pj[:, None, :, :] - pi[:, :, None, :] for pi, pj in zip(x_recv, x_jb)]
+    r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+    r = jnp.sqrt(jax.nn.relu(r2) + EPSILON)  # (B, Ni, bs, 1)
+    pre = a_jb[:, None] + a_i[:, :, None] + p.edge.b_in
+    rbf = jnp.exp(-p.edge.rbf_betas * (jnp.exp(-r) - p.edge.rbf_means) ** 2)
+    filtered = rbf * pre
+    o_f = mm(filtered.reshape(-1, R), p.edge.w_out0[F2 : F2 + R])
+    e0 = (
+        o_jb[:, None]
+        + o_i[:, :, None]
+        + o_f.reshape(B, Ni, bs, H)
+        + r * p.edge.w_out0[F2 + R]
+        + p.edge.b_out0
+    )
+    h_e = mm(_silu(e0).reshape(-1, H), p.edge.w_out1).reshape(
+        B, Ni, bs, H
+    ) + p.edge.b_out1
+    logits = _celu2(
+        mm(h_e.reshape(-1, H), p.w_sem).reshape(B, Ni, bs, n_heads) + p.b_sem
+    )
+    self_pair = (i_ids[:, None] == j_ids[None, :]).astype(logits.dtype)
+    logits = logits - INF * self_pair[None, :, :, None]
+    return h_e, logits, d, r
+
+
+def _pass2_accumulate(p, mm, carry, *, h_e, att, d, r, n_heads):
+    """Accumulate attention-weighted aggregates for one sender block into
+    ``carry = (agg_node, pooled (3, B, Ni, C))`` (the linear-in-field
+    consumers of the dense layer; see ``layers.DenseSAKELayer``)."""
+    agg_node, pooled = carry
+    B, Ni, bs, H = h_e.shape
+    K = n_heads
+    C = p.w_xmix.shape[-1]
+    F = p.w_node0.shape[0] - H * K - H
+    w_xmix_hk = p.w_xmix.reshape(H, K, C)
+    w_nagg_hk = p.w_node0[F : F + H * K].reshape(H, K, -1)
+    coeff_pre = jnp.zeros((B, Ni, bs, C))
+    he2d = h_e.reshape(-1, H)
+    for k in range(K):
+        att_k = att[..., k : k + 1]
+        coeff_pre = coeff_pre + att_k * mm(he2d, w_xmix_hk[:, k, :]).reshape(
+            B, Ni, bs, C
+        )
+        a_k = (h_e * att_k).sum(axis=2)
+        agg_node = agg_node + mm(a_k.reshape(B * Ni, H), w_nagg_hk[:, k, :])
+    coeff = jnp.tanh(coeff_pre)
+    inv_r = 1.0 / (r + 1e-5)
+    pooled = pooled + jnp.stack(
+        [(coeff * (d[k2] * inv_r)).sum(axis=2) for k2 in range(3)]
+    )
+    return agg_node, pooled
+
+
 def blocked_layer_forward(
     p: LayerParams,
     h_send: jax.Array,  # (B, Nj, F) ALL sender node features
@@ -382,3 +453,183 @@ def dp_atom_sharded_loss_step(
         out_specs=(P(), P()),
         check_vma=False,
     )
+
+
+def ring_layer_forward(
+    p: LayerParams,
+    h_loc: jax.Array,  # (B, n_local, F) THIS shard's node features
+    x_loc,  # 3 x (B, n_local, 1) shard position planes
+    v_loc,  # 3 x (B, n_local, 1) or None
+    *,
+    axis: str,
+    n_shards: int,
+    n_heads: int,
+    update: bool,
+    matmul_dtype=None,
+):
+    """One dense SAKE layer with senders ring-rotated over ``axis``.
+
+    The bandwidth-optimal refinement of the all-gather formulation
+    (``atom_sharded_forward``): no device ever holds more than TWO sender
+    shards — the node-level halves ``(a_j, o_j, x)`` of each shard travel
+    around the ring via ``lax.ppermute`` while every device accumulates
+    its receiver rows, the molecular analog of ring attention
+    (SURVEY §5.7(b)). Two rotations are needed because the per-edge
+    ``tanh`` coefficients require *finalized* softmax statistics (online
+    rescaling cannot cross the nonlinearity): pass 1 accumulates the
+    (max, sum) statistics, pass 2 the attention-weighted aggregates.
+    Peak activation memory is O(n_local^2) vs the gather path's
+    O(n_local * N); comm volume is ~2x an all-gather, riding ICI
+    neighbor links only. Unmasked (uniform large systems).
+    """
+    B, n_local, F = h_loc.shape
+    K = n_heads
+    H = p.edge.w_out0.shape[-1]
+    C = p.w_xmix.shape[-1]
+    R = p.edge.w_in.shape[-1]
+    mm = _make_mm(matmul_dtype)
+    my = jax.lax.axis_index(axis)
+    perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+
+    h2d = h_loc.reshape(B * n_local, F)
+    a_j = mm(h2d, p.edge.w_in[:F]).reshape(B, n_local, R)
+    o_j = mm(h2d, p.edge.w_out0[:F]).reshape(B, n_local, H)
+    a_i = mm(h2d, p.edge.w_in[F:]).reshape(B, n_local, R)
+    o_i = mm(h2d, p.edge.w_out0[F : 2 * F]).reshape(B, n_local, H)
+    i_ids = my * n_local + jnp.arange(n_local)
+
+    def visiting_ids(t):
+        # after t left-rotations, this device holds the shard that
+        # originated on device (my + t) mod n_shards
+        return ((my + t) % n_shards) * n_local + jnp.arange(n_local)
+
+    def rotate(blk):
+        return jax.tree.map(lambda a: jax.lax.ppermute(a, axis, perm), blk)
+
+    # ---- pass 1: ring online-softmax statistics --------------------------
+    def ring_pass(body, carry):
+        blk = (a_j, o_j, tuple(x_loc))
+        for t in range(n_shards):
+            carry = body(carry, blk, t)
+            if t < n_shards - 1:
+                blk = rotate(blk)
+        return carry
+
+    def pass1(carry, blk, t):
+        m, z = carry
+        a_jb, o_jb, x_jb = blk
+        _, logits, _, _ = _edge_block_vs(
+            p, mm, a_i=a_i, o_i=o_i, x_recv=x_loc, i_ids=i_ids,
+            a_jb=a_jb, o_jb=o_jb, x_jb=list(x_jb), j_ids=visiting_ids(t),
+            n_heads=K,
+        )
+        m_new = jnp.maximum(m, logits.max(axis=2))
+        z = z * jnp.exp(m - m_new) + jnp.exp(
+            logits - m_new[:, :, None, :]
+        ).sum(axis=2)
+        return m_new, z
+
+    m0 = jnp.full((B, n_local, K), -jnp.inf)
+    z0 = jnp.zeros((B, n_local, K))
+    m, z = ring_pass(pass1, (m0, z0))
+
+    # ---- pass 2: attention-weighted accumulation -------------------------
+    def pass2(carry, blk, t):
+        a_jb, o_jb, x_jb = blk
+        h_e, logits, d, r = _edge_block_vs(
+            p, mm, a_i=a_i, o_i=o_i, x_recv=x_loc, i_ids=i_ids,
+            a_jb=a_jb, o_jb=o_jb, x_jb=list(x_jb), j_ids=visiting_ids(t),
+            n_heads=K,
+        )
+        att = jnp.exp(logits - m[:, :, None, :]) / z[:, :, None, :]
+        return _pass2_accumulate(
+            p, mm, carry, h_e=h_e, att=att, d=d, r=r, n_heads=K
+        )
+
+    agg0 = jnp.zeros((B * n_local, p.w_node0.shape[-1]))
+    pooled0 = jnp.zeros((3, B, n_local, C))
+    agg_node, pooled = ring_pass(pass2, (agg0, pooled0))
+
+    # ---- finalize (identical to the dense layer's node/velocity update) --
+    N_total = n_shards * n_local
+    norm_pool = [pooled[k] / float(N_total) for k in range(3)]
+    pool_sq = norm_pool[0] ** 2 + norm_pool[1] ** 2 + norm_pool[2] ** 2
+    h_comb = _silu(
+        mm(_silu(mm(pool_sq.reshape(B * n_local, C), p.w_post0) + p.b_post0),
+           p.w_post1)
+        + p.b_post1
+    )
+    node_pre = (
+        mm(h2d, p.w_node0[:F])
+        + agg_node
+        + mm(h_comb, p.w_node0[F + H * K :])
+        + p.b_node0
+    )
+    upd_val = mm(_silu(node_pre), p.w_node1) + p.b_node1
+    h_out = h_loc + _silu(upd_val).reshape(B, n_local, F)
+
+    if not update:
+        return h_out, x_loc, v_loc
+
+    delta_planes = [
+        mm(pooled[k].reshape(B * n_local, C), p.w_vmix).reshape(B, n_local, 1)
+        / float(N_total)
+        for k in range(3)
+    ]
+    if v_loc is not None:
+        gate = 2.0 * jax.nn.sigmoid(
+            mm(_silu(mm(h_out.reshape(B * n_local, F), p.w_vel0) + p.b_vel0),
+               p.w_vel1)
+        ).reshape(B, n_local, 1)
+        v_new = [gate * vk + dk for vk, dk in zip(v_loc, delta_planes)]
+    else:
+        v_new = delta_planes
+    x_new = [xk + vk for xk, vk in zip(x_loc, v_new)]
+    return h_out, x_new, v_new
+
+
+def ring_atom_sharded_forward(
+    p: ModelParams,
+    h: jax.Array,  # (B, N, F_in); N divisible by the mesh axis size
+    x: jax.Array,  # (B, N, 3)
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    n_heads: int = 4,
+    update: Sequence[bool] | bool = True,
+    matmul_dtype=None,
+):
+    """Atom-sharded model forward with ring-``ppermute`` sender exchange.
+
+    Same contract as ``atom_sharded_forward`` (outputs sharded like the
+    inputs, oracle-exact vs the dense model) but never materializes the
+    gathered sender set — the large-N formulation.
+    """
+    depth = len(p.layers)
+    updates = [update] * depth if isinstance(update, bool) else list(update)
+    n_dev = mesh.shape[axis]
+    B, N, _ = h.shape
+    assert N % n_dev == 0, "atom count must divide the mesh axis"
+
+    def local_fn(h_loc, x_loc):
+        mm = _make_mm(matmul_dtype)
+        hc = _embed(p, h_loc, mm)
+        xp = [x_loc[..., k : k + 1] for k in range(3)]
+        vp = None
+        for lp, upd in zip(p.layers, updates):
+            hc, xp, vp = ring_layer_forward(
+                lp, hc, xp, vp,
+                axis=axis, n_shards=n_dev, n_heads=n_heads, update=upd,
+                matmul_dtype=matmul_dtype,
+            )
+        out = _readout(p, hc, mm)
+        return out, jnp.concatenate(xp, axis=-1)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, axis, None)),
+        out_specs=(P(None, axis, None), P(None, axis, None)),
+        check_vma=False,
+    )
+    return fn(h, x)
