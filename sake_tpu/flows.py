@@ -76,11 +76,12 @@ class ODEFlow:
         return jax.vmap(lambda xi: jax.jacrev(fn)(xi, t))(x)
 
     @staticmethod
-    def trace(fn, x, t, key):
+    def trace(fn, x, t, probe):
+        """Hutchinson trace estimate with a Gaussian ``probe`` array (the
+        reference drew it from one fixed key, so the probe is constant
+        along the trajectory — sampled once in ``call``)."""
         y, vjp_fun = jax.vjp(lambda x_: fn(x_, t), x)
-        _, subkey = jax.random.split(key)
-        u = jax.random.normal(subkey, y.shape)
-        return (vjp_fun(u)[0] * u).sum(axis=(-1, -2))
+        return (vjp_fun(probe)[0] * probe).sum(axis=(-1, -2))
 
     @staticmethod
     def exact_logdet(fn, x):
@@ -91,20 +92,34 @@ class ODEFlow:
         return logdet
 
     @staticmethod
-    def dynamics_and_trace(model, params, key):
-        dyn = partial(ODEFlow.dynamics, model, params)
+    def dynamics_and_trace(model):
+        """Joint (dx/dt, dlogdet/dt) field in ``odeint``'s ``*args`` form.
 
-        def fn(state, t):
+        ``params`` and the trace probe are threaded as explicit odeint
+        arguments (NOT closed over): ``jax.experimental.ode.odeint``
+        differentiates only through its ``*args``, and traced closures
+        break its custom VJP — exactly what training (grad w.r.t. params
+        under jit) needs. The integer PRNG key cannot be an odeint arg
+        (``float0`` cotangent), so the Gaussian probe is pre-sampled.
+        """
+
+        def fn(state, t, params, probe):
             x, _ = state
-            return dyn(x, t), ODEFlow.trace(dyn, x, t, key)
+            dyn = partial(ODEFlow.dynamics, model, params)
+            return dyn(x, t), ODEFlow.trace(dyn, x, t, probe)
 
         return fn
 
     @staticmethod
     def call(model, params, x, key):
         trace0 = jnp.zeros(shape=x.shape[:-2])
-        fn = ODEFlow.dynamics_and_trace(model, params, key)
-        y, logdet = odeint(fn, (x, trace0), jnp.array(T_SPAN), rtol=1e-2, atol=1e-2)
+        _, subkey = jax.random.split(key)
+        probe = jax.random.normal(subkey, x.shape)
+        fn = ODEFlow.dynamics_and_trace(model)
+        y, logdet = odeint(
+            fn, (x, trace0), jnp.array(T_SPAN), params, probe,
+            rtol=1e-2, atol=1e-2,
+        )
         return y[-1], logdet[-1]
 
     @staticmethod

@@ -67,9 +67,17 @@ def _flow_data(cfg: AugmentedFlowConfig):
 def run_augmented(cfg: AugmentedFlowConfig, logger: Optional[MetricLogger] = None):
     logger = logger or MetricLogger()
     x, h_dim = _flow_data(cfg)
-    x_tr, x_te = x[: cfg.n_train], x[cfg.n_train :]
+    # the qm9 modal-size filter can return fewer samples than requested
+    # (scripts/qm9_aug/run.py:14-17 filters to one molecule size); split
+    # proportionally over what exists and clamp the batch to the train set.
+    n_tr = min(
+        cfg.n_train,
+        max(1, round(len(x) * cfg.n_train / (cfg.n_train + cfg.n_test))),
+    )
+    x_tr, x_te = x[:n_tr], x[n_tr:]
+    bs = min(cfg.batch_size, len(x_tr))
     n = x_tr.shape[1]
-    h = jnp.zeros((cfg.batch_size, n, h_dim))
+    h = jnp.zeros((bs, n, h_dim))
 
     model = AugmentedFlowModel(
         depth=cfg.depth, mp_depth=cfg.mp_depth, hidden_features=cfg.hidden_features
@@ -77,8 +85,8 @@ def run_augmented(cfg: AugmentedFlowConfig, logger: Optional[MetricLogger] = Non
     params = jax.jit(model.init)(
         jax.random.PRNGKey(cfg.seed),
         h,
-        jnp.asarray(x_tr[: cfg.batch_size]),
-        jnp.asarray(x_tr[: cfg.batch_size]),
+        jnp.asarray(x_tr[:bs]),
+        jnp.asarray(x_tr[:bs]),
     )
     tx = make_optimizer(cfg.learning_rate)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
@@ -98,7 +106,7 @@ def run_augmented(cfg: AugmentedFlowConfig, logger: Optional[MetricLogger] = Non
     def train_block(state):
         return scan_epochs(
             step_fn, state, data,
-            batch_size=cfg.batch_size, n_epochs=cfg.epochs_per_block,
+            batch_size=bs, n_epochs=cfg.epochs_per_block,
         )
 
     t0 = time.time()
@@ -111,18 +119,21 @@ def run_augmented(cfg: AugmentedFlowConfig, logger: Optional[MetricLogger] = Non
             wall=round(time.time() - t0, 2),
         )
 
-    # test NLL (same estimator on held-out data)
-    n_te = (len(x_te) // cfg.batch_size) * cfg.batch_size
+    # test NLL (same estimator on held-out data; fall back to one train
+    # batch when the modal-size filter leaves no full held-out batch)
+    if len(x_te) < bs:
+        x_te = x_tr[-bs:]
+    n_te = (len(x_te) // bs) * bs
     te_nll = []
     eval_nll = jax.jit(
         lambda params, xb, key: model.apply(params, h, xb, key, method=model.nll)
     )
-    for i, s in enumerate(range(0, n_te, cfg.batch_size)):
+    for i, s in enumerate(range(0, n_te, bs)):
         te_nll.append(
             float(
                 eval_nll(
                     state.params,
-                    jnp.asarray(x_te[s : s + cfg.batch_size]),
+                    jnp.asarray(x_te[s : s + bs]),
                     jax.random.PRNGKey(i),
                 )
             )

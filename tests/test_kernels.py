@@ -132,3 +132,43 @@ def test_merged_kernel_interpret(setup):
     e, f = merged_energy_forces(kp, h, x, io_tile=4, chunk=2, interpret=True)
     np.testing.assert_allclose(e, e_ref, **TOL)
     np.testing.assert_allclose(f, -g, **TOL)
+
+
+def test_depthgrid_kernel_interpret(setup):
+    """The round-2 depth-on-grid kernel pair (fwd + remat bwd) must
+    reproduce E and F in interpreter mode."""
+    from sake_tpu.kernels.depthgrid_ef import depthgrid_energy_forces
+
+    model, params, kp, h, x = setup
+
+    def energy(x_):
+        out, _, _ = model.apply(params, h, x_)
+        return out.sum(), out.sum(axis=(-2, -1))
+
+    (_, e_ref), g = jax.value_and_grad(energy, has_aux=True)(x)
+    e, f = depthgrid_energy_forces(kp, h, x, batch_tile=2, interpret=True)
+    np.testing.assert_allclose(e, e_ref, **TOL)
+    np.testing.assert_allclose(f, -g, **TOL)
+
+
+def test_depthgrid_kernel_update_schedule(setup):
+    """Depth-on-grid kernel with a mixed per-layer update schedule."""
+    from sake_tpu.kernels.depthgrid_ef import depthgrid_energy_forces
+
+    _, _, _, h, x = setup
+    model = SAKEModel(
+        hidden_features=16, out_features=1, depth=3, update=[False, True, False]
+    )
+    params = model.init(jax.random.PRNGKey(2), h, x)
+    kp = model_params_from_linen(params)
+
+    def energy(x_):
+        out, _, _ = model.apply(params, h, x_)
+        return out.sum(), out.sum(axis=(-2, -1))
+
+    (_, e_ref), g = jax.value_and_grad(energy, has_aux=True)(x)
+    e, f = depthgrid_energy_forces(
+        kp, h, x, batch_tile=2, update=[False, True, False], interpret=True
+    )
+    np.testing.assert_allclose(e, e_ref, **TOL)
+    np.testing.assert_allclose(f, -g, **TOL)

@@ -45,7 +45,40 @@ TINY = {
                    n_samples=60, batch_size=12),
     "dw4_aug": dict(depth=1, mp_depth=1, hidden_features=8, n_epochs=1,
                     epochs_per_block=1, n_train=100, n_test=50, batch_size=50),
+    # previously-untested registry entries (VERDICT r1 item 6): every
+    # list_workloads() name must run end-to-end in CI.
+    "md17_traj": dict(hidden_features=8, depth=2, n_epochs=2,
+                      epochs_per_block=1, n_train=16, n_valid=8, batch_size=8),
+    "md17_forecast": dict(hidden_features=8, depth=2, n_epochs=1,
+                          epochs_per_block=1, n_samples=60, batch_size=12),
+    "qm9_tpu": dict(hidden_features=8, depth=2, n_epochs=1, n_samples=256,
+                    batch_size=16),  # shard_map DP over the 8 fake devices
+    "dw4": dict(depth=2, hidden_features=8, n_epochs=2, n_train=64, n_test=32),
+    "qm9_aug": dict(depth=1, mp_depth=1, hidden_features=8, n_epochs=1,
+                    epochs_per_block=1, n_train=48, n_test=16, batch_size=16),
+    "lj13_aug": dict(depth=1, mp_depth=1, hidden_features=8, n_epochs=1,
+                     epochs_per_block=1, n_train=64, n_test=32, batch_size=32),
+    "ablation_no_euclidean": dict(hidden_features=8, depth=2, n_epochs=1,
+                                  epochs_per_block=1, n_train=16, n_valid=8,
+                                  batch_size=8),
+    "ablation_no_semantic": dict(hidden_features=8, depth=2, n_epochs=1,
+                                 epochs_per_block=1, n_train=16, n_valid=8,
+                                 batch_size=8),
+    "ablation_no_spatial": dict(hidden_features=8, depth=2, n_epochs=1,
+                                epochs_per_block=1, n_train=16, n_valid=8,
+                                batch_size=8),
+    "ablation_no_update": dict(hidden_features=8, depth=2, n_epochs=1,
+                               epochs_per_block=1, n_train=16, n_valid=8,
+                               batch_size=8),
+    "ablation_egnn": dict(hidden_features=8, depth=2, n_epochs=1,
+                          epochs_per_block=1, n_train=16, n_valid=8,
+                          batch_size=8),
 }
+
+
+def test_tiny_covers_whole_registry():
+    """No registry entry may be missing from the smoke matrix."""
+    assert sorted(TINY) == list_workloads()
 
 
 @pytest.mark.parametrize("name", sorted(TINY))
