@@ -96,3 +96,35 @@ def test_ode_flow_shapes():
     y, logdet = ODEFlow.call(model, params, x, jax.random.PRNGKey(1))
     assert y.shape == (2, 5, 3)
     assert logdet.shape == (2,)
+
+
+def test_odeflow_trace_identity_and_exact_jacobian():
+    """The Hutchinson estimator is exactly ``u^T J u`` for any fixed probe
+    ``u`` — cross-check ``ODEFlow.trace`` against the brute-force
+    ``ODEFlow.jacobian`` (the reference kept these exact variants for this
+    purpose, ``sake/flows.py:38-46,67-74``; they were untested in r1)."""
+    from functools import partial
+
+    _, x, _ = _data(b=2, n=4)
+    model = SAKEModel(hidden_features=8, out_features=1, depth=2)
+    t0 = 0.3
+    t_feat = jnp.ones((*x.shape[:-1], 1)) * t0
+    params = model.init(jax.random.PRNGKey(0), t_feat, x)
+    dyn = partial(ODEFlow.dynamics, model, params)
+
+    J = ODEFlow.jacobian(dyn, x, t0)  # (B, N, 3, N, 3) per-sample jacobian
+    probe = jax.random.normal(jax.random.PRNGKey(7), x.shape)
+    est = ODEFlow.trace(dyn, x, t0, probe)
+    expected = jnp.einsum("bnd,bndme,bme->b", probe, J, probe)
+    np.testing.assert_allclose(est, expected, rtol=1e-4, atol=1e-5)
+
+    # exact_logdet of the identity-plus-scaled-jacobian of a LINEAR map is
+    # checkable in closed form: use the flow-map jacobian directly
+    dof = x.shape[-2] * x.shape[-1]
+    J2 = J.reshape(x.shape[0], dof, dof)
+    sign, expected_ld = np.linalg.slogdet(np.eye(dof) + np.asarray(J2))
+    got = ODEFlow.exact_logdet(
+        lambda x_: jax.vmap(jax.jacrev(lambda xi: xi + dyn(xi[None], t0)[0]))(x_),
+        x,
+    )
+    np.testing.assert_allclose(got, expected_ld, rtol=1e-4, atol=1e-5)
