@@ -5,20 +5,23 @@ plus one position-gradient backward of the flagship SAKE model (hidden=64,
 depth=6, the ``scripts/md17/run.py:40-44`` config) on aspirin (21 atoms).
 
 Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": "evals/s/chip", "vs_baseline": N}``
+``{"metric": ..., "value": N, "unit": "evals/s/chip", "vs_baseline": N,
+"impl": ..., "batch": N, "sweep": {...}}``
 where ``vs_baseline`` is the ratio against the 50,000 evals/s/chip
-north-star target (>= 1.0 means target met).
+north-star target (>= 1.0 means target met) and ``sweep`` records the
+lax-path throughput at several batch sizes plus the HBM-ceiling boundary
+(batch 4096 OOMs device HBM) so the memory envelope is regression-checked.
 
-Two implementations are measured and the best is reported:
-- ``lax``   — the XLA-compiled linen path (always runs; fast compile).
-- ``fused`` — the Pallas merged edge-pipeline kernel, attempted in a
-  subprocess bounded by ``SAKE_BENCH_FUSED_TIMEOUT`` seconds and VERIFIED
-  against the lax oracle before its number can count. Disabled by default
-  (timeout 0): measured on this environment it is correct but ~2.3x
-  slower than lax — Mosaic's per-grid-step/per-chunk loop overhead (~50us
-  per 0.5us-compute chunk) dominates at these tiny-molecule shapes, and
-  the compile service is flaky (see CLAUDE.md). Kept as the starting
-  point for the next round of kernel work.
+Two implementations are measured and the best VERIFIED one is reported:
+
+- ``lax``       — the XLA-compiled linen path (always runs; fast compile).
+- ``depthgrid`` — the Pallas depth-on-grid kernel pair
+  (``kernels/depthgrid_ef.py``), attempted in a subprocess bounded by
+  ``SAKE_BENCH_KERNEL_TIMEOUT`` seconds (0 disables) and VERIFIED against
+  the lax oracle before its number can count. Mosaic compiles are cached
+  server-side, so after a first warm run this is cheap. A kernel number
+  is NEVER reported without the oracle check (two round-1 runs printed
+  absurd throughputs when verification was skipped).
 """
 
 import json
@@ -32,6 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 TARGET_EVALS_PER_SEC = 50_000.0
+SWEEP_BATCHES = (512, 1024, 2048)
+OOM_PROBE_BATCH = 4096  # known to exceed device HBM on v5e (16.6G > 15.75G)
 
 
 def build(batch: int):
@@ -52,26 +57,6 @@ def build(batch: int):
     return ef, params, x
 
 
-def build_fused(batch: int, io_tile: int = 64, chunk: int = 2):
-    """Pallas merged-kernel E+F callable + inputs, plus a lax oracle for
-    verification (a kernel number only counts if it computes the truth)."""
-    from sake_tpu.data.md17 import ASPIRIN_Z
-    from sake_tpu.kernels import model_params_from_linen
-    from sake_tpu.kernels.split_ef import merged_energy_forces
-
-    ef_lax, params, x = build(batch)
-    kp = model_params_from_linen(params)
-    z = ASPIRIN_Z
-    species = jax.nn.one_hot(z, z.max())
-    h = jnp.broadcast_to(species, (batch, len(z), species.shape[-1])).astype(
-        jnp.float32
-    )
-    ef = jax.jit(
-        lambda p, xx: merged_energy_forces(p, h, xx, io_tile=io_tile, chunk=chunk)
-    )
-    return ef, kp, x, ef_lax, params
-
-
 def measure(ef, params, x, min_seconds: float = 2.0) -> float:
     e, f = ef(params, x)
     jax.block_until_ready((e, f))  # warmup/compile
@@ -85,32 +70,48 @@ def measure(ef, params, x, min_seconds: float = 2.0) -> float:
     return n_iter * x.shape[0] / elapsed
 
 
-def _fused_main(batch: int):
-    """Subprocess entry: compile, VERIFY against the lax oracle, measure
-    honestly (block every call), print the result."""
-    import numpy as _np
+def _kernel_main(batch: int, variant: str):
+    """Subprocess entry: compile the depthgrid kernel, VERIFY against the
+    lax oracle, measure honestly (block every call), print the result."""
+    from sake_tpu.data.md17 import ASPIRIN_Z
+    from sake_tpu.kernels import model_params_from_linen
+    from sake_tpu.kernels.depthgrid_ef import depthgrid_energy_forces
 
-    ef, kp, x, ef_lax, params = build_fused(batch)
+    kw = {
+        "hi-bt4": dict(precision=jax.lax.Precision.HIGHEST, batch_tile=4),
+        "hi-bt2": dict(precision=jax.lax.Precision.HIGHEST, batch_tile=2),
+        "bf16-bt4": dict(matmul_dtype=jnp.bfloat16, batch_tile=4),
+    }[variant]
+
+    ef_lax, params, x = build(batch)
+    e_ref, f_ref = ef_lax(params, x)
+    jax.block_until_ready((e_ref, f_ref))
+    kp = model_params_from_linen(params)
+    z = ASPIRIN_Z
+    species = jax.nn.one_hot(z, z.max())
+    h = jnp.broadcast_to(species, (batch, len(z), species.shape[-1])).astype(
+        jnp.float32
+    )
+    ef = jax.jit(lambda p, xx: depthgrid_energy_forces(p, h, xx, **kw))
     e, f = ef(kp, x)
     jax.block_until_ready((e, f))
-    e_ref, f_ref = ef_lax(params, x)
     f_err = float(jnp.abs(f - f_ref).max())
     f_scale = float(jnp.abs(f_ref).max()) + 1e-12
     if f_err / f_scale > 1e-2:
-        print(f"FUSED_REJECTED f_err={f_err} scale={f_scale}")
+        print(f"KERNEL_REJECTED f_err={f_err} scale={f_scale}")
         return
     times = []
-    for _ in range(20):
+    for _ in range(10):
         t = time.perf_counter()
         e, f = ef(kp, x)
         jax.block_until_ready((e, f))
         times.append(time.perf_counter() - t)
-    print("FUSED_RESULT", batch / float(_np.median(times)))
+    print("KERNEL_RESULT", batch / float(np.median(times)))
 
 
-def _fused_subprocess(batch: int, timeout: float):
-    """Measure the fused kernel in a killable subprocess; None on failure."""
-    code = f"import bench; bench._fused_main({batch})"
+def _kernel_subprocess(batch: int, variant: str, timeout: float):
+    """Measure a kernel variant in a killable subprocess; None on failure."""
+    code = f"import bench; bench._kernel_main({batch}, {variant!r})"
     try:
         out = subprocess.run(
             [sys.executable, "-c", code],
@@ -120,23 +121,64 @@ def _fused_subprocess(batch: int, timeout: float):
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         for line in out.stdout.splitlines():
-            if line.startswith("FUSED_RESULT"):
+            if line.startswith("KERNEL_RESULT"):
                 return float(line.split()[1])
     except (subprocess.TimeoutExpired, ValueError, OSError):
         pass
     return None
 
 
+def _oom_probe(batch: int) -> str:
+    """Run one E+F evaluation at ``batch`` in a subprocess; 'oom' / 'ok'."""
+    code = (
+        "import bench, jax; ef, p, x = bench.build(%d); "
+        "jax.block_until_ready(ef(p, x)); print('PROBE_OK')" % batch
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if "PROBE_OK" in out.stdout:
+            return "ok"
+        if "RESOURCE_EXHAUSTED" in out.stderr or "OOM" in out.stderr:
+            return "oom"
+        return "error"
+    except subprocess.TimeoutExpired:
+        return "timeout"
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    ef, params, x = build(batch)
-    value, impl = measure(ef, params, x), "lax"
+    sweep = {}
+    value = None
+    for b in SWEEP_BATCHES:
+        ef, params, x = build(b)
+        rate = measure(ef, params, x)
+        sweep[str(b)] = round(rate, 1)
+        if b == batch:
+            value = rate
+        del ef, params, x
+    if value is None:
+        ef, params, x = build(batch)
+        value = measure(ef, params, x)
+        del ef, params, x
+    impl = "lax"
+    if os.environ.get("SAKE_BENCH_OOM_PROBE", "1") != "0":
+        sweep[str(OOM_PROBE_BATCH)] = _oom_probe(OOM_PROBE_BATCH)
 
-    fused_timeout = float(os.environ.get("SAKE_BENCH_FUSED_TIMEOUT", "0"))
-    if fused_timeout > 0:
-        fused = _fused_subprocess(batch, fused_timeout)
-        if fused is not None and fused > value:
-            value, impl = fused, "fused"
+    kernel_timeout = float(os.environ.get("SAKE_BENCH_KERNEL_TIMEOUT", "1200"))
+    if kernel_timeout > 0:
+        variants = os.environ.get("SAKE_BENCH_KERNEL_VARIANTS", "hi-bt4").split(",")
+        for variant in variants:
+            rate = _kernel_subprocess(batch, variant, kernel_timeout)
+            if rate is not None:
+                sweep[f"depthgrid-{variant}"] = round(rate, 1)
+                if rate > value:
+                    value, impl = rate, f"depthgrid-{variant}"
 
     print(
         json.dumps(
@@ -147,6 +189,7 @@ def main():
                 "vs_baseline": round(value / TARGET_EVALS_PER_SEC, 4),
                 "impl": impl,
                 "batch": batch,
+                "sweep": sweep,
             }
         )
     )
