@@ -86,6 +86,23 @@ def _kernel_main(batch: int, variant: str):
     ef_lax, params, x = build(batch)
     e_ref, f_ref = ef_lax(params, x)
     jax.block_until_ready((e_ref, f_ref))
+    # Ground truth: the same lax program at HIGHEST matmul precision
+    # (measured ~4e-5 from CPU fp32 truth, vs ~1e-2 for the default-
+    # precision lax path). A kernel number only counts if it is at least
+    # as close to the truth as the incumbent it would replace.
+    with jax.default_matmul_precision("highest"):
+        from sake_tpu.models import SAKEModel
+        from sake_tpu.tasks.md17 import make_energy_force_fn
+
+        model = SAKEModel(hidden_features=64, out_features=1, depth=6)
+        z0 = ASPIRIN_Z
+        sp = jax.nn.one_hot(z0, z0.max())
+        ef_hi = jax.jit(make_energy_force_fn(model, sp, 0.0, 1.0))
+        e_t, f_t = ef_hi(params, x)
+        jax.block_until_ready((e_t, f_t))
+    f_scale = float(jnp.abs(f_t).max()) + 1e-12
+    err_lax = float(jnp.abs(f_ref - f_t).max()) / f_scale
+
     kp = model_params_from_linen(params)
     z = ASPIRIN_Z
     species = jax.nn.one_hot(z, z.max())
@@ -95,11 +112,11 @@ def _kernel_main(batch: int, variant: str):
     ef = jax.jit(lambda p, xx: depthgrid_energy_forces(p, h, xx, **kw))
     e, f = ef(kp, x)
     jax.block_until_ready((e, f))
-    f_err = float(jnp.abs(f - f_ref).max())
-    f_scale = float(jnp.abs(f_ref).max()) + 1e-12
-    if f_err / f_scale > 1e-2:
-        print(f"KERNEL_REJECTED f_err={f_err} scale={f_scale}")
+    f_err = float(jnp.abs(f - f_t).max()) / f_scale
+    if f_err > max(2e-3, 2.0 * err_lax):
+        print(f"KERNEL_REJECTED f_err={f_err} err_lax={err_lax}")
         return
+    print(f"KERNEL_VERIFIED f_err={f_err} err_lax={err_lax}")
     times = []
     for _ in range(10):
         t = time.perf_counter()

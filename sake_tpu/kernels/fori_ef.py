@@ -1,0 +1,232 @@
+"""Split whole-model fused E+F kernels: fori-over-depth, resident params.
+
+The third kernel generation, combining what rounds 1-2 proved:
+
+- Round 1's whole-model kernel (``fused_ef.py``) had the right structure
+  (depth ``fori_loop`` over stacked params, hand-staged remat) but put the
+  forward AND backward loops in ONE body — a program big enough to OOM the
+  remote Mosaic compiler at depth 6.
+- Round 2's depth-on-grid pair (``depthgrid_ef.py``) compiles (single-layer
+  bodies) but pays per-grid-step pipeline overhead on ``depth * B/BT``
+  steps, re-streaming ~30 parameter blocks every step.
+
+This file splits round 1's design into TWO kernels (half the program each,
+inside the compiler's memory budget at small batch tiles) and keeps the
+parameters **VMEM-resident**: the stacked ``(depth, ...)`` leaves use
+constant index maps, so the Pallas pipeline copies them in once per kernel
+launch, and the ``fori_loop`` body reads layer ``i`` by dynamic leading-
+index (``ref[i]`` — untiled leading dim, address arithmetic only). Grid
+steps: ``B/BT`` per kernel (6x fewer than depth-on-grid). Boundary states
+cross between the kernels through compact ``(depth, B, N, .)`` HBM arrays
+(~35 KB/eval).
+
+Same math as ``depthgrid_ef.layer_forward_wide`` (shared); backward is
+per-layer remat under ``jax.vjp`` with input-only cotangents.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sake_tpu.kernels.depthgrid_ef import (
+    _LEAF_NAMES,
+    _compiler_params,
+    _make_mm_prec,
+    layer_forward_wide,
+    wide_stack,
+)
+from sake_tpu.kernels.functional import ModelParams, _silu
+from sake_tpu.kernels.split_ef import head_expansion_matrices
+
+
+def _resident_spec(a):
+    """Full-array VMEM block with a constant index map: copied in once,
+    resident across all grid steps (no per-step re-DMA)."""
+    return pl.BlockSpec(
+        a.shape, lambda b, nd=a.ndim: (0,) * nd, memory_space=pltpu.VMEM
+    )
+
+
+def _bspec(shape, bt):
+    nd = len(shape)
+    return pl.BlockSpec(
+        (bt,) + shape[1:], lambda b, nd=nd: (b,) + (0,) * (nd - 1),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _dspec(shape, bt):
+    """(depth, B, ...) boundary array: the WHOLE depth range for this batch
+    tile is one resident block; the kernel indexes layers dynamically."""
+    nd = len(shape)
+    return pl.BlockSpec(
+        (shape[0], bt) + shape[2:],
+        lambda b, nd=nd: (0, b) + (0,) * (nd - 2),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def fori_energy_forces(
+    params: ModelParams,
+    h: jax.Array,  # (B, N, F_in)
+    x: jax.Array,  # (B, N, 3)
+    *,
+    n_heads: int = 4,
+    update: Sequence[bool] | bool = True,
+    batch_tile: int = 4,
+    matmul_dtype=None,
+    precision=None,
+    interpret: bool = False,
+):
+    """Fused (E, F) evaluation: ``E (B,)``, ``F = -dE/dx (B, N, 3)``."""
+    B, N, F_in = h.shape
+    BT = batch_tile
+    if B % BT:
+        raise ValueError(f"batch {B} not divisible by batch_tile {BT}")
+    depth = len(params.layers)
+    updates = [update] * depth if isinstance(update, bool) else list(update)
+    upd_flags = jnp.asarray(updates, jnp.float32).reshape(depth, 1)
+    F = params.w_embed.shape[-1]
+    H = params.layers[0].edge.w_out0.shape[-1]
+    K = n_heads
+    mm = _make_mm_prec(matmul_dtype, precision)
+    e_rep, e_tile = head_expansion_matrices(H, K)
+    leaves = wide_stack(params, n_heads)
+    grid = (B // BT,)
+
+    h0 = (mm(h.reshape(B * N, F_in), params.w_embed) + params.b_embed).reshape(
+        B, N, F
+    )
+    x_planes = [x[..., k : k + 1] for k in range(3)]
+
+    def read_p(lrefs, i):
+        return {name: r[i] for name, r in zip(_LEAF_NAMES, lrefs)}
+
+    flag_spec = pl.BlockSpec(
+        (depth, 1), lambda b: (0, 0), memory_space=pltpu.SMEM
+    )
+
+    # --- forward kernel: all layers in one fori_loop ------------------------
+    def fwd_kernel(*refs):
+        x0_ref, x1_ref, x2_ref, h_ref, upd_ref, erep_ref, etile_ref = refs[:7]
+        lrefs = refs[7 : 7 + len(leaves)]
+        (bh_ref, bx0_ref, bx1_ref, bx2_ref, bv0_ref, bv1_ref, bv2_ref,
+         hfin_ref) = refs[7 + len(leaves) :]
+        bx = (bx0_ref, bx1_ref, bx2_ref)
+        bv = (bv0_ref, bv1_ref, bv2_ref)
+
+        def body(i, carry):
+            hc, xp, vp = carry
+            bh_ref[i] = hc
+            for k in range(3):
+                bx[k][i] = xp[k]
+                bv[k][i] = vp[k]
+            hc, xp, vp = layer_forward_wide(
+                read_p(lrefs, i), hc, xp, vp, upd_ref[i, 0],
+                e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm,
+            )
+            return hc, list(xp), list(vp)
+
+        xp0 = [x0_ref[:], x1_ref[:], x2_ref[:]]
+        vp0 = [jnp.zeros_like(xp0[0])] * 3
+        h_f, _, _ = jax.lax.fori_loop(0, depth, body, (h_ref[:], xp0, vp0))
+        hfin_ref[:] = h_f
+
+    plane = jax.ShapeDtypeStruct((B, N, 1), jnp.float32)
+    bplane = jax.ShapeDtypeStruct((depth, B, N, 1), jnp.float32)
+    fwd_outs = pl.pallas_call(
+        fwd_kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((depth, B, N, F), jnp.float32),
+            bplane, bplane, bplane, bplane, bplane, bplane,
+            jax.ShapeDtypeStruct((B, N, F), jnp.float32),
+        ),
+        in_specs=(
+            [_bspec((B, N, 1), BT)] * 3
+            + [_bspec((B, N, F), BT), flag_spec]
+            + [_resident_spec(e_rep), _resident_spec(e_tile)]
+            + [_resident_spec(a) for a in leaves]
+        ),
+        out_specs=(
+            (_dspec((depth, B, N, F), BT),)
+            + (_dspec((depth, B, N, 1), BT),) * 6
+            + (_bspec((B, N, F), BT),)
+        ),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(*x_planes, h0, upd_flags, e_rep, e_tile, *leaves)
+    bh, bx0, bx1, bx2, bv0, bv1, bv2, h_fin = fwd_outs
+
+    # --- readout + seed cotangent (XLA) ------------------------------------
+    def readout_e(h_):
+        out = mm(
+            _silu(mm(h_.reshape(B * N, F), params.w_out0) + params.b_out0),
+            params.w_out1,
+        ) + params.b_out1
+        return out.reshape(B, N, -1).sum(axis=(-2, -1))
+
+    e, readout_vjp = jax.vjp(readout_e, h_fin)
+    (dh_fin,) = readout_vjp(jnp.ones_like(e))
+
+    # --- backward kernel: reversed fori, per-layer vjp remat ----------------
+    def bwd_kernel(*refs):
+        (bh_ref, bx0_ref, bx1_ref, bx2_ref, bv0_ref, bv1_ref, bv2_ref,
+         dhf_ref, upd_ref, erep_ref, etile_ref) = refs[:11]
+        lrefs = refs[11 : 11 + len(leaves)]
+        dx0_ref, dx1_ref, dx2_ref = refs[11 + len(leaves) :]
+        bx = (bx0_ref, bx1_ref, bx2_ref)
+        bv = (bv0_ref, bv1_ref, bv2_ref)
+
+        def body(t, carry):
+            dh, dxp, dvp = carry
+            i = depth - 1 - t
+            h_in = bh_ref[i]
+            xp_in = [bx[k][i] for k in range(3)]
+            vp_in = [bv[k][i] for k in range(3)]
+            p = read_p(lrefs, i)
+            upd = upd_ref[i, 0]
+
+            def f(h_, xp_, vp_):
+                h2, xp2, vp2 = layer_forward_wide(
+                    p, h_, xp_, vp_, upd,
+                    e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm,
+                )
+                return h2, list(xp2), list(vp2)
+
+            _, vjp = jax.vjp(f, h_in, xp_in, vp_in)
+            dh2, dxp2, dvp2 = vjp((dh, dxp, dvp))
+            return dh2, list(dxp2), list(dvp2)
+
+        zero = jnp.zeros((BT, N, 1), jnp.float32)
+        _, dxp, _ = jax.lax.fori_loop(
+            0, depth, body, (dhf_ref[:], [zero] * 3, [zero] * 3)
+        )
+        dx0_ref[:] = dxp[0]
+        dx1_ref[:] = dxp[1]
+        dx2_ref[:] = dxp[2]
+
+    dx0, dx1, dx2 = pl.pallas_call(
+        bwd_kernel,
+        grid=grid,
+        out_shape=(plane, plane, plane),
+        in_specs=(
+            [_dspec((depth, B, N, F), BT)]
+            + [_dspec((depth, B, N, 1), BT)] * 6
+            + [_bspec((B, N, F), BT), flag_spec]
+            + [_resident_spec(e_rep), _resident_spec(e_tile)]
+            + [_resident_spec(a) for a in leaves]
+        ),
+        out_specs=(_bspec((B, N, 1), BT),) * 3,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(bh, bx0, bx1, bx2, bv0, bv1, bv2, dh_fin, upd_flags, e_rep, e_tile,
+      *leaves)
+
+    f = -jnp.concatenate([dx0, dx1, dx2], axis=-1)
+    return e, f

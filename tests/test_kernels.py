@@ -220,3 +220,42 @@ def test_kernel_path_second_order_training_grad(setup):
         np.testing.assert_allclose(
             fk, fo, rtol=2e-3, atol=2e-5, err_msg=f"layer {i}"
         )
+
+
+def test_fori_kernel_interpret(setup):
+    """The split fori-over-depth kernel pair (resident params) must
+    reproduce E and F in interpreter mode."""
+    from sake_tpu.kernels.fori_ef import fori_energy_forces
+
+    model, params, kp, h, x = setup
+
+    def energy(x_):
+        out, _, _ = model.apply(params, h, x_)
+        return out.sum(), out.sum(axis=(-2, -1))
+
+    (_, e_ref), g = jax.value_and_grad(energy, has_aux=True)(x)
+    e, f = fori_energy_forces(kp, h, x, batch_tile=2, interpret=True)
+    np.testing.assert_allclose(e, e_ref, **TOL)
+    np.testing.assert_allclose(f, -g, **TOL)
+
+
+def test_fori_kernel_update_schedule(setup):
+    from sake_tpu.kernels.fori_ef import fori_energy_forces
+
+    _, _, _, h, x = setup
+    model = SAKEModel(
+        hidden_features=16, out_features=1, depth=3, update=[False, True, False]
+    )
+    params = model.init(jax.random.PRNGKey(2), h, x)
+    kp = model_params_from_linen(params)
+
+    def energy(x_):
+        out, _, _ = model.apply(params, h, x_)
+        return out.sum(), out.sum(axis=(-2, -1))
+
+    (_, e_ref), g = jax.value_and_grad(energy, has_aux=True)(x)
+    e, f = fori_energy_forces(
+        kp, h, x, batch_tile=2, update=[False, True, False], interpret=True
+    )
+    np.testing.assert_allclose(e, e_ref, **TOL)
+    np.testing.assert_allclose(f, -g, **TOL)
