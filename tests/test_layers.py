@@ -113,3 +113,27 @@ def test_model_with_extra_edge_features():
     params = model.init(jax.random.PRNGKey(0), h, x, he=he)
     h_out, _, _ = model.apply(params, h, x, he=he)
     assert h_out.shape == (5, 2)
+
+
+def test_layer_with_cosine_cutoff():
+    """Wiring the cosine cutoff into combined attention (the envelope the
+    reference defined but never connected, ``sake/utils.py:10-26`` /
+    ``sake/layers.py:172-175``): the euclidean factor must actually shape
+    the attention, and outputs stay finite and equivariance-shaped."""
+    from functools import partial
+
+    from sake_tpu.radial import cosine_cutoff
+
+    h, x = _hx(f=16)
+    cut = partial(cosine_cutoff, lower=0.0, upper=3.0)
+    layer = DenseSAKELayer(out_features=16, hidden_features=16, cutoff=cut)
+    params = layer.init(jax.random.PRNGKey(0), h, x)
+    h1, x1, v1 = layer.apply(params, h, x)
+    assert np.isfinite(np.asarray(h1)).all()
+
+    base = DenseSAKELayer(out_features=16, hidden_features=16)
+    # same weights: the param trees are structurally identical
+    h0_, _, _ = base.apply(params, h, x)
+    assert not np.allclose(np.asarray(h1), np.asarray(h0_)), (
+        "cutoff envelope had no effect on the combined attention"
+    )
