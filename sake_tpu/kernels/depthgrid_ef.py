@@ -76,10 +76,10 @@ def _make_mm_prec(matmul_dtype, precision):
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _compiler_params():
+def _compiler_params(n_grid_dims: int = 2):
     return pltpu.CompilerParams(
         vmem_limit_bytes=_VMEM_LIMIT,
-        dimension_semantics=("arbitrary", "arbitrary"),
+        dimension_semantics=("arbitrary",) * n_grid_dims,
     )
 
 

@@ -158,7 +158,7 @@ def fori_energy_forces(
             + (_dspec((depth, B, N, 1), BT),) * 6
             + (_bspec((B, N, F), BT),)
         ),
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(1),
         interpret=interpret,
     )(*x_planes, h0, upd_flags, e_rep, e_tile, *leaves)
     bh, bx0, bx1, bx2, bv0, bv1, bv2, h_fin = fwd_outs
@@ -223,7 +223,7 @@ def fori_energy_forces(
             + [_resident_spec(a) for a in leaves]
         ),
         out_specs=(_bspec((B, N, 1), BT),) * 3,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(1),
         interpret=interpret,
     )(bh, bx0, bx1, bx2, bv0, bv1, bv2, dh_fin, upd_flags, e_rep, e_tile,
       *leaves)
