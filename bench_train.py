@@ -1,0 +1,188 @@
+"""North-star #2 benchmark: QM9 training throughput vs the reference.
+
+Runs, on the SAME chip with IDENTICAL synthetic QM9-shaped data and an
+architecturally identical model (hidden=64, depth=6, update=True, masked
+padded batches, mean-abs property loss):
+
+- ``reference``: the reference's actual code path — ``sake`` imported from
+  ``/root/reference`` (read-only), driven exactly like
+  ``scripts/qm9_tpu/run.py:89-111``: a ``jax.pmap(axis_name="batch")`` step
+  with ``lax.pmean`` gradients, ``flax.jax_utils.replicate``-style state,
+  and a host-side python loop dispatching one pmap call per batch.
+- ``sake_tpu``: this framework's path (``tasks/qm9.py`` structure) — the
+  whole epoch scanned ON DEVICE inside a ``shard_map`` program
+  (``parallel.data_parallel.make_dp_epoch``), one host round trip per
+  epoch.
+
+Prints ONE JSON line with both throughputs (molecules/sec/chip) and
+``vs_baseline`` = ratio sake_tpu / reference. BASELINE.json target: >= 10x.
+
+Usage: ``python bench_train.py [batch_size] [n_batches]``.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_data(n_batches: int, batch: int, n_atoms: int = 29, n_species: int = 10):
+    """Synthetic QM9-shaped padded batches (one-hot species, positions,
+    edge masks from variable molecule sizes, scalar targets)."""
+    rng = np.random.RandomState(0)
+    total = n_batches * batch
+    sizes = rng.randint(5, n_atoms + 1, size=total)
+    node_mask = (np.arange(n_atoms)[None, :] < sizes[:, None]).astype(np.float32)
+    z = rng.randint(1, n_species, size=(total, n_atoms)) * node_mask.astype(int)
+    i = jax.nn.one_hot(jnp.asarray(z), n_species)
+    x = jnp.asarray(
+        rng.randn(total, n_atoms, 3) * node_mask[..., None], jnp.float32
+    )
+    m = jnp.asarray(node_mask[:, :, None] * node_mask[:, None, :], jnp.float32)
+    y = jnp.asarray(rng.randn(total, 1), jnp.float32)
+    return i, x, m, y
+
+
+def bench_reference(i, x, m, y, batch: int, repeats: int = 3) -> float:
+    """The reference's own model + training structure
+    (``/root/reference/scripts/qm9_tpu/run.py:60-111``)."""
+    sys.path.insert(0, "/root/reference")
+    import optax
+    import sake
+    from flax.training.train_state import TrainState
+    from functools import partial
+
+    model = sake.models.DenseSAKEModel(
+        hidden_features=64, out_features=1, depth=6, update=True
+    )
+
+    def sum_mask(m_):
+        return jnp.sign(m_.sum(-1, keepdims=True))
+
+    def loss_fn(params, i_, x_, m_, y_):
+        y_hat, _, __ = model.apply(params, i_, x_, mask=m_)
+        y_hat = (y_hat * sum_mask(m_)).sum(-2)
+        return jnp.abs(y_ - y_hat).mean()
+
+    @partial(jax.pmap, axis_name="batch")
+    def step(state, i_, x_, m_, y_):
+        grads = jax.grad(loss_fn)(state.params, i_, x_, m_, y_)
+        grads = jax.lax.pmean(grads, "batch")
+        return state.apply_gradients(grads=grads)
+
+    n_dev = jax.local_device_count()
+    n_batches = i.shape[0] // (batch * n_dev)
+    total = n_batches * batch * n_dev
+
+    def shard(a):
+        return a[:total].reshape(n_batches, n_dev, batch, *a.shape[1:])
+
+    i_b, x_b, m_b, y_b = shard(i), shard(x), shard(m), shard(y)
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(2666), i[:batch], x[:batch]
+    )
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=optax.adam(5e-4)
+    )
+    state = jax.device_put_replicated(state, jax.local_devices())
+
+    def epoch(state):
+        # the reference's host loop: one pmap dispatch per batch
+        # (scripts/qm9_tpu/run.py:110-111)
+        for idx in range(n_batches):
+            state = step(state, i_b[idx], x_b[idx], m_b[idx], y_b[idx])
+        return state
+
+    def force(s):
+        # a host readback of a value that depends on every step of the
+        # epoch; block_until_ready alone proved unreliable over the
+        # device tunnel (returned before execution finished)
+        return float(np.asarray(jax.tree.leaves(s.params)[0]).ravel()[0])
+
+    state = epoch(state)  # warmup/compile
+    force(state)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state = epoch(state)
+        force(state)
+        times.append(time.perf_counter() - t0)
+    return total / float(np.median(times))
+
+
+def bench_sake_tpu(i, x, m, y, batch: int, repeats: int = 3) -> float:
+    """This framework's path: scanned shard_map epoch (one dispatch)."""
+    import optax
+
+    from sake_tpu.models import SAKEModel
+    from sake_tpu.parallel import make_dp_epoch, make_mesh, replicate_state
+    from sake_tpu.train import TrainState
+
+    model = SAKEModel(hidden_features=64, out_features=1, depth=6)
+
+    def loss_fn(params, b):
+        y_hat, _, __ = model.apply(params, b["i"], b["x"], None, b["m"])
+        graph_live = jnp.sign(b["m"].sum(-1, keepdims=True))
+        y_hat = (y_hat * graph_live).sum(-2)
+        return jnp.abs(b["y"] - y_hat).mean()
+
+    n_dev = jax.local_device_count()
+    mesh = make_mesh((("data", n_dev),))
+    n_batches = i.shape[0] // (batch * n_dev)
+    total = n_batches * batch * n_dev
+
+    def stack(a):
+        return a[:total].reshape(n_batches, batch * n_dev, *a.shape[1:])
+
+    batches = {"i": stack(i), "x": stack(x), "m": stack(m), "y": stack(y)}
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(2666), i[0], x[0])
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=optax.adam(5e-4)
+    )
+    state = replicate_state(state, mesh)
+    epoch = jax.jit(make_dp_epoch(loss_fn, mesh), donate_argnums=0)
+
+    def force(s):
+        return float(np.asarray(jax.tree.leaves(s.params)[0]).ravel()[0])
+
+    state, _ = epoch(state, batches)  # warmup/compile
+    force(state)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, _ = epoch(state, batches)
+        force(state)
+        times.append(time.perf_counter() - t0)
+    return total / float(np.median(times))
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    i, x, m, y = make_data(n_batches, batch * jax.local_device_count())
+    ours = bench_sake_tpu(i, x, m, y, batch)
+    ref = bench_reference(i, x, m, y, batch)
+    print(
+        json.dumps(
+            {
+                "metric": "qm9_train_samples_per_sec_per_chip",
+                "value": round(ours, 1),
+                "unit": "samples/s/chip",
+                "reference_value": round(ref, 1),
+                "vs_baseline": round(ours / ref, 3),
+                "target_ratio": 10.0,
+                "batch_per_device": batch,
+                "n_batches": n_batches,
+                "n_devices": jax.local_device_count(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
