@@ -57,15 +57,21 @@ def build(batch: int):
     return ef, params, x
 
 
-def measure(ef, params, x, min_seconds: float = 2.0) -> float:
+def measure(ef, params, x, min_seconds: float = 2.0, chain: int = 8) -> float:
+    """Device throughput: chains of ``chain`` async dispatches ended by a
+    host READBACK (a value transfer cannot lie; ``block_until_ready`` alone
+    proved unreliable over the device tunnel, and a per-call sync adds
+    ~25 ms of tunnel latency that a production loop would never pay)."""
     e, f = ef(params, x)
     jax.block_until_ready((e, f))  # warmup/compile
+    float(np.asarray(e).ravel()[0])
     n_iter, elapsed = 0, 0.0
     t0 = time.perf_counter()
     while elapsed < min_seconds:
-        e, f = ef(params, x)
-        jax.block_until_ready((e, f))
-        n_iter += 1
+        for _ in range(chain):
+            e, f = ef(params, x)
+        float(np.asarray(e).ravel()[0] + np.asarray(f).ravel()[0])
+        n_iter += chain
         elapsed = time.perf_counter() - t0
     return n_iter * x.shape[0] / elapsed
 
@@ -117,13 +123,8 @@ def _kernel_main(batch: int, variant: str):
         print(f"KERNEL_REJECTED f_err={f_err} err_lax={err_lax}")
         return
     print(f"KERNEL_VERIFIED f_err={f_err} err_lax={err_lax}")
-    times = []
-    for _ in range(10):
-        t = time.perf_counter()
-        e, f = ef(kp, x)
-        jax.block_until_ready((e, f))
-        times.append(time.perf_counter() - t)
-    print("KERNEL_RESULT", batch / float(np.median(times)))
+    rate = measure(ef, kp, x)
+    print("KERNEL_RESULT", rate)
 
 
 def _kernel_subprocess(batch: int, variant: str, timeout: float):
