@@ -129,16 +129,25 @@ def wide_stack(params: ModelParams, n_heads: int):
     ]
 
 
-def layer_forward_wide(p: dict, h, xp, vp, upd, *, e_rep, e_tile, mm):
+def layer_forward_wide(p: dict, h, xp, vp, upd, *, e_rep, e_tile, mm,
+                       n_real=None):
     """One dense SAKE layer (always-update, gated by ``upd`` in [0, 1]).
 
     ``h (BT, N, F)``, ``xp``/``vp`` three ``(BT, N, 1)`` planes. Same math
     as ``functional.layer_forward_planes`` (unmasked), with the per-head
     loop replaced by the wide expansion-matmul formulation.
+
+    ``n_real``: when ``N`` is padded to a sublane-aligned size (21 -> 24
+    makes every (BT, N, N, .) -> (BT*N*N, .) reshape an aligned, free
+    layout change instead of a Mosaic relayout), atoms ``>= n_real`` are
+    statically masked out of the attention and all mean divisors use
+    ``n_real`` — pad receivers compute garbage no real row ever reads
+    (their attention over real senders is fine, and they never send).
     """
     BT, N, F = h.shape
     R = p["w_in_j"].shape[-1]
     H = p["w_o_j"].shape[-1]
+    n_eff = float(n_real if n_real is not None else N)
     h2d = h.reshape(BT * N, F)
 
     d0 = [pk[:, None, :, :] - pk[:, :, None, :] for pk in xp]
@@ -165,6 +174,11 @@ def layer_forward_wide(p: dict, h, xp, vp, upd, *, e_rep, e_tile, mm):
         + p["b_sem"]
     )
     logits = logits - INF * jnp.eye(N, dtype=logits.dtype)[None, :, :, None]
+    if n_real is not None and n_real < N:
+        pad_sender = (
+            jax.lax.broadcasted_iota(logits.dtype, (N, 1), 0) >= n_real
+        ).astype(logits.dtype)
+        logits = logits - INF * pad_sender[None, None, :, :]
     att = jax.nn.softmax(logits, axis=-2)
 
     # --- attended edges, wide (hidden-major/head-minor) ------------------
@@ -177,8 +191,9 @@ def layer_forward_wide(p: dict, h, xp, vp, upd, *, e_rep, e_tile, mm):
 
     # --- pooled spatial attention (no (N,N,C,3) field) --------------------
     inv_r = 1.0 / (r + 1e-5)
+    # pad senders contribute zero: att=0 there => h_e_att=0 => coeff=tanh(0)=0
     pooled = [(coeff * (d0[k] * inv_r)).sum(axis=-2) for k in range(3)]
-    norm = [pk / float(N) for pk in pooled]
+    norm = [pk / n_eff for pk in pooled]
     pool_sq = norm[0] ** 2 + norm[1] ** 2 + norm[2] ** 2
     h_comb = _silu(
         mm(
@@ -201,7 +216,7 @@ def layer_forward_wide(p: dict, h, xp, vp, upd, *, e_rep, e_tile, mm):
 
     # --- velocity/position update, arithmetically gated -------------------
     delta = [
-        mm(pk.reshape(BT * N, C), p["w_vmix"]).reshape(BT, N, 1) / float(N)
+        mm(pk.reshape(BT * N, C), p["w_vmix"]).reshape(BT, N, 1) / n_eff
         for pk in pooled
     ]
     gate = 2.0 * jax.nn.sigmoid(

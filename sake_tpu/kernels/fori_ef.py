@@ -81,10 +81,23 @@ def fori_energy_forces(
     batch_tile: int = 4,
     matmul_dtype=None,
     precision=None,
+    pad_atoms: bool = False,
     interpret: bool = False,
 ):
-    """Fused (E, F) evaluation: ``E (B,)``, ``F = -dE/dx (B, N, 3)``."""
+    """Fused (E, F) evaluation: ``E (B,)``, ``F = -dE/dx (B, N, 3)``.
+
+    ``pad_atoms``: pad N up to a multiple of 8 so every edge-grid reshape
+    is sublane-aligned (free) instead of a Mosaic relayout; pad atoms are
+    statically masked out of attention (see ``layer_forward_wide``).
+    """
     B, N, F_in = h.shape
+    n_real = None
+    if pad_atoms and N % 8:
+        n_real = N
+        n_pad = (-N) % 8
+        h = jnp.pad(h, ((0, 0), (0, n_pad), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
+        N = N + n_pad
     BT = batch_tile
     if B % BT:
         raise ValueError(f"batch {B} not divisible by batch_tile {BT}")
@@ -129,6 +142,7 @@ def fori_energy_forces(
             hc, xp, vp = layer_forward_wide(
                 read_p(lrefs, i), hc, xp, vp, upd_ref[i, 0],
                 e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm,
+                n_real=n_real,
             )
             return hc, list(xp), list(vp)
 
@@ -169,7 +183,10 @@ def fori_energy_forces(
             _silu(mm(h_.reshape(B * N, F), params.w_out0) + params.b_out0),
             params.w_out1,
         ) + params.b_out1
-        return out.reshape(B, N, -1).sum(axis=(-2, -1))
+        out = out.reshape(B, N, -1)
+        if n_real is not None:
+            out = out[:, :n_real]  # pad receivers never contribute
+        return out.sum(axis=(-2, -1))
 
     e, readout_vjp = jax.vjp(readout_e, h_fin)
     (dh_fin,) = readout_vjp(jnp.ones_like(e))
@@ -196,6 +213,7 @@ def fori_energy_forces(
                 h2, xp2, vp2 = layer_forward_wide(
                     p, h_, xp_, vp_, upd,
                     e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm,
+                    n_real=n_real,
                 )
                 return h2, list(xp2), list(vp2)
 
@@ -229,4 +247,6 @@ def fori_energy_forces(
       *leaves)
 
     f = -jnp.concatenate([dx0, dx1, dx2], axis=-1)
+    if n_real is not None:
+        f = f[:, :n_real]
     return e, f

@@ -259,3 +259,22 @@ def test_fori_kernel_update_schedule(setup):
     )
     np.testing.assert_allclose(e, e_ref, **TOL)
     np.testing.assert_allclose(f, -g, **TOL)
+
+
+def test_fori_kernel_padded_atoms(setup):
+    """Atom padding to a sublane-aligned N (static attention mask on pad
+    senders) must not change E or F."""
+    from sake_tpu.kernels.fori_ef import fori_energy_forces
+
+    model, params, kp, h, x = setup  # N=7 -> padded to 8
+
+    def energy(x_):
+        out, _, _ = model.apply(params, h, x_)
+        return out.sum(), out.sum(axis=(-2, -1))
+
+    (_, e_ref), g = jax.value_and_grad(energy, has_aux=True)(x)
+    e, f = fori_energy_forces(
+        kp, h, x, batch_tile=2, pad_atoms=True, interpret=True
+    )
+    np.testing.assert_allclose(e, e_ref, **TOL)
+    np.testing.assert_allclose(f, -g, **TOL)
