@@ -14,14 +14,15 @@ lax-path throughput at several batch sizes plus the HBM-ceiling boundary
 
 Two implementations are measured and the best VERIFIED one is reported:
 
-- ``lax``       — the XLA-compiled linen path (always runs; fast compile).
-- ``depthgrid`` — the Pallas depth-on-grid kernel pair
-  (``kernels/depthgrid_ef.py``), attempted in a subprocess bounded by
-  ``SAKE_BENCH_KERNEL_TIMEOUT`` seconds (0 disables) and VERIFIED against
-  the lax oracle before its number can count. Mosaic compiles are cached
-  server-side, so after a first warm run this is cheap. A kernel number
-  is NEVER reported without the oracle check (two round-1 runs printed
-  absurd throughputs when verification was skipped).
+- ``lax`` — the XLA-compiled linen path (always runs; fast compile).
+- Pallas kernel variants (``SAKE_BENCH_KERNEL_VARIANTS``, ";"-separated
+  ``kern_probe.py`` configs, e.g. ``fori:bt=4,prec=hi,edtype=bf16,pad=1``),
+  each attempted in a subprocess bounded by ``SAKE_BENCH_KERNEL_TIMEOUT``
+  seconds (0 disables) and VERIFIED against the HIGHEST-precision oracle
+  before its number can count. Mosaic compiles are cached server-side, so
+  after a first warm run this is cheap. A kernel number is NEVER reported
+  without the oracle check (two round-1 runs printed absurd throughputs
+  when verification was skipped).
 """
 
 import json
@@ -37,6 +38,14 @@ import numpy as np
 TARGET_EVALS_PER_SEC = 50_000.0
 SWEEP_BATCHES = (512, 1024, 2048)
 OOM_PROBE_BATCH = 4096  # known to exceed device HBM on v5e (16.6G > 15.75G)
+# ";"-separated "<impl>:key=val,..." kern_probe.py configs tried in order.
+# Measured 2026-08-16 (v5e, batch 2048): fori/default-node/bf16-edge/pad
+# = 19.5k evals/s (f_err 4.6e-3 vs gate 7.8e-3); hi-node variant = 17.0k
+# (f_err 2.9e-3); lax = 9.7k.
+DEFAULT_KERNEL_VARIANTS = (
+    "fori:bt=8,prec=default,edtype=bf16,pad=1;"
+    "fori:bt=8,prec=hi,edtype=bf16,pad=1"
+)
 
 
 def build(batch: int):
@@ -76,71 +85,40 @@ def measure(ef, params, x, min_seconds: float = 2.0, chain: int = 8) -> float:
     return n_iter * x.shape[0] / elapsed
 
 
-def _kernel_main(batch: int, variant: str):
-    """Subprocess entry: compile the depthgrid kernel, VERIFY against the
-    lax oracle, measure honestly (block every call), print the result."""
-    from sake_tpu.data.md17 import ASPIRIN_Z
-    from sake_tpu.kernels import model_params_from_linen
-    from sake_tpu.kernels.depthgrid_ef import depthgrid_energy_forces
-
-    kw = {
-        "hi-bt4": dict(precision=jax.lax.Precision.HIGHEST, batch_tile=4),
-        "hi-bt2": dict(precision=jax.lax.Precision.HIGHEST, batch_tile=2),
-        "bf16-bt4": dict(matmul_dtype=jnp.bfloat16, batch_tile=4),
-    }[variant]
-
-    ef_lax, params, x = build(batch)
-    e_ref, f_ref = ef_lax(params, x)
-    jax.block_until_ready((e_ref, f_ref))
-    # Ground truth: the same lax program at HIGHEST matmul precision
-    # (measured ~4e-5 from CPU fp32 truth, vs ~1e-2 for the default-
-    # precision lax path). A kernel number only counts if it is at least
-    # as close to the truth as the incumbent it would replace.
-    with jax.default_matmul_precision("highest"):
-        from sake_tpu.models import SAKEModel
-        from sake_tpu.tasks.md17 import make_energy_force_fn
-
-        model = SAKEModel(hidden_features=64, out_features=1, depth=6)
-        z0 = ASPIRIN_Z
-        sp = jax.nn.one_hot(z0, z0.max())
-        ef_hi = jax.jit(make_energy_force_fn(model, sp, 0.0, 1.0))
-        e_t, f_t = ef_hi(params, x)
-        jax.block_until_ready((e_t, f_t))
-    f_scale = float(jnp.abs(f_t).max()) + 1e-12
-    err_lax = float(jnp.abs(f_ref - f_t).max()) / f_scale
-
-    kp = model_params_from_linen(params)
-    z = ASPIRIN_Z
-    species = jax.nn.one_hot(z, z.max())
-    h = jnp.broadcast_to(species, (batch, len(z), species.shape[-1])).astype(
-        jnp.float32
-    )
-    ef = jax.jit(lambda p, xx: depthgrid_energy_forces(p, h, xx, **kw))
-    e, f = ef(kp, x)
-    jax.block_until_ready((e, f))
-    f_err = float(jnp.abs(f - f_t).max()) / f_scale
-    if f_err > max(2e-3, 2.0 * err_lax):
-        print(f"KERNEL_REJECTED f_err={f_err} err_lax={err_lax}")
-        return
-    print(f"KERNEL_VERIFIED f_err={f_err} err_lax={err_lax}")
-    rate = measure(ef, kp, x)
-    print("KERNEL_RESULT", rate)
-
-
 def _kernel_subprocess(batch: int, variant: str, timeout: float):
-    """Measure a kernel variant in a killable subprocess; None on failure."""
-    code = f"import bench; bench._kernel_main({batch}, {variant!r})"
+    """Verify + measure a kernel variant via ``kern_probe.py`` in a
+    killable subprocess (Mosaic compile failures can SIGKILL the remote
+    compile helper). ``variant`` is ``"<impl>:key=val,key=val"``. Returns
+    the measured rate, or None on failure/timeout/REJECTION.
+
+    The acceptance gate lives HERE (the parent): the probe's f_err against
+    the HIGHEST-precision truth must be <= max(2e-3, 2x the default lax
+    path's own error) — a kernel number is NEVER reported without the
+    oracle check (two round-1 runs printed absurd throughputs when
+    verification was skipped).
+    """
+    impl, _, kvs = variant.partition(":")
+    args = [a for a in kvs.split(",") if a]
     try:
         out = subprocess.run(
-            [sys.executable, "-c", code],
+            [sys.executable, "kern_probe.py", impl, str(batch), *args],
             capture_output=True,
             text=True,
             timeout=timeout,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
+        f_err = err_lax = rate = None
         for line in out.stdout.splitlines():
-            if line.startswith("KERNEL_RESULT"):
-                return float(line.split()[1])
+            if line.startswith("PROBE_VERIFIED"):
+                kv = dict(p.split("=") for p in line.split()[1:])
+                f_err, err_lax = float(kv["f_err"]), float(kv["err_lax"])
+            elif line.startswith("PROBE_RESULT"):
+                rate = float(line.split()[1])
+        if rate is None or f_err is None:
+            return None
+        if f_err > max(2e-3, 2.0 * err_lax):
+            return None
+        return rate
     except (subprocess.TimeoutExpired, ValueError, OSError):
         pass
     return None
@@ -190,13 +168,15 @@ def main():
 
     kernel_timeout = float(os.environ.get("SAKE_BENCH_KERNEL_TIMEOUT", "1200"))
     if kernel_timeout > 0:
-        variants = os.environ.get("SAKE_BENCH_KERNEL_VARIANTS", "hi-bt4").split(",")
+        variants = os.environ.get(
+            "SAKE_BENCH_KERNEL_VARIANTS", DEFAULT_KERNEL_VARIANTS
+        ).split(";")
         for variant in variants:
             rate = _kernel_subprocess(batch, variant, kernel_timeout)
             if rate is not None:
-                sweep[f"depthgrid-{variant}"] = round(rate, 1)
+                sweep[variant] = round(rate, 1)
                 if rate > value:
-                    value, impl = rate, f"depthgrid-{variant}"
+                    value, impl = rate, variant
 
     print(
         json.dumps(

@@ -1,0 +1,130 @@
+"""Kernel-variant probe: verify + time one fused E+F kernel config on the
+real chip. Run as a subprocess per config (Mosaic compile failures can
+SIGKILL the remote compile helper; a probe must be killable).
+
+Usage:
+    python bench/kern_probe.py <impl> <batch> [key=val ...]
+
+impl: depthgrid | fori
+keys: bt (batch_tile), prec (hi|high|default), dtype (bf16|f32),
+      eprec/edtype (edge-matmul tier overrides), pad (0|1, fori only)
+
+Prints PROBE_VERIFIED f_err=... err_lax=... and PROBE_RESULT <evals/s>.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    impl = sys.argv[1]
+    batch = int(sys.argv[2])
+    kv = dict(a.split("=", 1) for a in sys.argv[3:])
+    bt = int(kv.get("bt", 4))
+    PREC = {
+        "hi": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": None,
+    }
+    DT = {"bf16": jnp.bfloat16, "f32": None}
+    prec = PREC[kv.get("prec", "hi")]
+    dtype = DT[kv.get("dtype", "f32")]
+    eprec = PREC[kv["eprec"]] if "eprec" in kv else None
+    edtype = DT[kv["edtype"]] if "edtype" in kv else None
+    pad = kv.get("pad", "0") == "1"
+
+    sys.path.insert(0, "/root/repo")
+    import os
+
+    import bench
+    from sake_tpu.data.md17 import ASPIRIN_Z
+    from sake_tpu.kernels import model_params_from_linen
+    from sake_tpu.models import SAKEModel
+    from sake_tpu.tasks.md17 import make_energy_force_fn
+
+    # Oracle outputs are deterministic per batch (seed 0); cache them so a
+    # probe sweep doesn't redo two lax compiles per subprocess.
+    cache = f"/tmp/kern_probe_oracle_{batch}.npz"
+    model = SAKEModel(hidden_features=64, out_features=1, depth=6)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, len(ASPIRIN_Z), 3) * 1.5, jnp.float32)
+    sp = jax.nn.one_hot(ASPIRIN_Z, ASPIRIN_Z.max())
+    h0 = jnp.broadcast_to(sp, (len(ASPIRIN_Z), sp.shape[-1]))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), h0, x[0])
+    if os.path.exists(cache):
+        d = np.load(cache)
+        e_t, f_t, err_lax = d["e_t"], d["f_t"], float(d["err_lax"])
+    else:
+        ef_lax = jax.jit(make_energy_force_fn(model, sp, 0.0, 1.0))
+        e_ref, f_ref = ef_lax(params, x)
+        jax.block_until_ready((e_ref, f_ref))
+        # truth: lax path at HIGHEST matmul precision (measured ~4e-5 from
+        # CPU fp32 truth; see CLAUDE.md measurement log)
+        with jax.default_matmul_precision("highest"):
+            ef_hi = jax.jit(make_energy_force_fn(model, sp, 0.0, 1.0))
+            e_t, f_t = ef_hi(params, x)
+            jax.block_until_ready((e_t, f_t))
+        scale = float(jnp.abs(f_t).max()) + 1e-12
+        err_lax = float(jnp.abs(f_ref - f_t).max()) / scale
+        np.savez(cache, e_t=np.asarray(e_t), f_t=np.asarray(f_t),
+                 err_lax=err_lax)
+    f_scale = float(np.abs(f_t).max()) + 1e-12
+
+    kp = model_params_from_linen(params)
+    h = jnp.broadcast_to(
+        sp, (batch, len(ASPIRIN_Z), sp.shape[-1])
+    ).astype(jnp.float32)
+
+    kw = dict(
+        batch_tile=bt,
+        matmul_dtype=dtype,
+        precision=prec,
+        edge_matmul_dtype=edtype,
+        edge_precision=eprec,
+    )
+    if impl == "depthgrid":
+        from sake_tpu.kernels.depthgrid_ef import depthgrid_energy_forces
+
+        ef = jax.jit(lambda p, xx: depthgrid_energy_forces(p, h, xx, **kw))
+    elif impl == "fori":
+        from sake_tpu.kernels.fori_ef import fori_energy_forces
+
+        ef = jax.jit(
+            lambda p, xx: fori_energy_forces(p, h, xx, pad_atoms=pad, **kw)
+        )
+    elif impl == "resid":
+        from sake_tpu.kernels.resid_ef import resid_energy_forces
+
+        rdt = {"bf16": jnp.bfloat16, "f32": jnp.float32}[kv.get("rdtype", "f32")]
+        ef = jax.jit(
+            lambda p, xx: resid_energy_forces(
+                p, h, xx, pad_atoms=pad, resid_dtype=rdt, **kw
+            )
+        )
+    else:
+        raise SystemExit(f"unknown impl {impl}")
+
+    t0 = time.perf_counter()
+    e, f = ef(kp, x)
+    jax.block_until_ready((e, f))
+    print(f"PROBE_COMPILE_S {time.perf_counter() - t0:.1f}", flush=True)
+    e_t = np.asarray(e_t).ravel()  # lax path returns (B, 1), kernels (B,)
+    f_err = float(jnp.abs(f - f_t).max()) / f_scale
+    e_err = float(jnp.abs(np.asarray(e).ravel() - e_t).max()) / (
+        float(np.abs(e_t).max()) + 1e-12
+    )
+    print(
+        f"PROBE_VERIFIED f_err={f_err:.2e} e_err={e_err:.2e} "
+        f"err_lax={err_lax:.2e}",
+        flush=True,
+    )
+    rate = bench.measure(ef, kp, x)
+    print(f"PROBE_RESULT {rate:.1f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

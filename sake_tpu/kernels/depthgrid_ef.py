@@ -130,12 +130,18 @@ def wide_stack(params: ModelParams, n_heads: int):
 
 
 def layer_forward_wide(p: dict, h, xp, vp, upd, *, e_rep, e_tile, mm,
-                       n_real=None):
+                       mm_edge=None, n_real=None):
     """One dense SAKE layer (always-update, gated by ``upd`` in [0, 1]).
 
     ``h (BT, N, F)``, ``xp``/``vp`` three ``(BT, N, 1)`` planes. Same math
     as ``functional.layer_forward_planes`` (unmasked), with the per-head
     loop replaced by the wide expansion-matmul formulation.
+
+    ``mm_edge``: matmul used for the O(N^2)-row edge-grid contractions
+    (o_f, w_o1, semantic, the head expansions, x_mixing) — >95% of the
+    layer FLOPs. Running these at a cheaper precision (bf16 inputs) while
+    node-level matmuls stay high-precision trades ~2e-3 force error for
+    the MXU's full bf16 rate; defaults to ``mm``.
 
     ``n_real``: when ``N`` is padded to a sublane-aligned size (21 -> 24
     makes every (BT, N, N, .) -> (BT*N*N, .) reshape an aligned, free
@@ -147,6 +153,8 @@ def layer_forward_wide(p: dict, h, xp, vp, upd, *, e_rep, e_tile, mm,
     BT, N, F = h.shape
     R = p["w_in_j"].shape[-1]
     H = p["w_o_j"].shape[-1]
+    if mm_edge is None:
+        mm_edge = mm
     n_eff = float(n_real if n_real is not None else N)
     h2d = h.reshape(BT * N, F)
 
@@ -161,33 +169,36 @@ def layer_forward_wide(p: dict, h, xp, vp, upd, *, e_rep, e_tile, mm,
     filtered = rbf * pre
     o_j = mm(h2d, p["w_o_j"]).reshape(BT, N, H)
     o_i = mm(h2d, p["w_o_i"]).reshape(BT, N, H)
-    o_f = mm(filtered.reshape(BT * N * N, R), p["w_o_f"]).reshape(BT, N, N, H)
+    o_f = mm_edge(filtered.reshape(BT * N * N, R), p["w_o_f"]).reshape(
+        BT, N, N, H
+    )
     e0 = o_j[:, None] + o_i[:, :, None] + o_f + r * p["w_o_r"][0] + p["b_o0"]
-    h_e = mm(_silu(e0).reshape(BT * N * N, H), p["w_o1"]).reshape(
+    h_e = mm_edge(_silu(e0).reshape(BT * N * N, H), p["w_o1"]).reshape(
         BT, N, N, H
     ) + p["b_o1"]
 
     # --- semantic attention over senders j -------------------------------
     K = p["w_sem"].shape[-1]
     logits = _celu2(
-        mm(h_e.reshape(BT * N * N, H), p["w_sem"]).reshape(BT, N, N, K)
+        mm_edge(h_e.reshape(BT * N * N, H), p["w_sem"]).reshape(BT, N, N, K)
         + p["b_sem"]
     )
     logits = logits - INF * jnp.eye(N, dtype=logits.dtype)[None, :, :, None]
     if n_real is not None and n_real < N:
+        # integer iota: Mosaic's tpu.iota rejects float result types
         pad_sender = (
-            jax.lax.broadcasted_iota(logits.dtype, (N, 1), 0) >= n_real
+            jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) >= n_real
         ).astype(logits.dtype)
         logits = logits - INF * pad_sender[None, None, :, :]
     att = jax.nn.softmax(logits, axis=-2)
 
     # --- attended edges, wide (hidden-major/head-minor) ------------------
-    h_e_att = mm(h_e.reshape(BT * N * N, H), e_rep) * mm(
+    h_e_att = mm_edge(h_e.reshape(BT * N * N, H), e_rep) * mm_edge(
         att.reshape(BT * N * N, K), e_tile
     )  # (BT*N*N, H*K)
     HK = h_e_att.shape[-1]
     C = p["w_xmix"].shape[-1]
-    coeff = jnp.tanh(mm(h_e_att, p["w_xmix"]).reshape(BT, N, N, C))
+    coeff = jnp.tanh(mm_edge(h_e_att, p["w_xmix"]).reshape(BT, N, N, C))
 
     # --- pooled spatial attention (no (N,N,C,3) field) --------------------
     inv_r = 1.0 / (r + 1e-5)
@@ -295,6 +306,8 @@ def depthgrid_energy_forces(
     batch_tile: int = 8,
     matmul_dtype=None,
     precision=None,
+    edge_matmul_dtype=None,
+    edge_precision=None,
     interpret: bool = False,
 ):
     """Fused (E, F) evaluation: ``E (B,)``, ``F = -dE/dx (B, N, 3)``.
@@ -313,6 +326,9 @@ def depthgrid_energy_forces(
     H = params.layers[0].edge.w_out0.shape[-1]
     K = n_heads
     mm = _make_mm_prec(matmul_dtype, precision)
+    mm_edge = None
+    if edge_matmul_dtype is not None or edge_precision is not None:
+        mm_edge = _make_mm_prec(edge_matmul_dtype, edge_precision)
     e_rep, e_tile = head_expansion_matrices(H, K)
     leaves = wide_stack(params, n_heads)
     grid = (B // BT, depth)
@@ -357,7 +373,7 @@ def depthgrid_energy_forces(
 
         h2, xp2, vp2 = layer_forward_wide(
             read_p(lrefs), hc, xp, vp, upd_ref[d, 0],
-            e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm,
+            e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm, mm_edge=mm_edge,
         )
         sh[:] = h2
         for k in range(3):
@@ -438,7 +454,7 @@ def depthgrid_energy_forces(
         def f(h_, xp_, vp_):
             h2, xp2, vp2 = layer_forward_wide(
                 p, h_, xp_, vp_, upd,
-                e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm,
+                e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm, mm_edge=mm_edge,
             )
             return h2, list(xp2), list(vp2)
 

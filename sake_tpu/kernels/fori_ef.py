@@ -81,6 +81,8 @@ def fori_energy_forces(
     batch_tile: int = 4,
     matmul_dtype=None,
     precision=None,
+    edge_matmul_dtype=None,
+    edge_precision=None,
     pad_atoms: bool = False,
     interpret: bool = False,
 ):
@@ -108,6 +110,9 @@ def fori_energy_forces(
     H = params.layers[0].edge.w_out0.shape[-1]
     K = n_heads
     mm = _make_mm_prec(matmul_dtype, precision)
+    mm_edge = None
+    if edge_matmul_dtype is not None or edge_precision is not None:
+        mm_edge = _make_mm_prec(edge_matmul_dtype, edge_precision)
     e_rep, e_tile = head_expansion_matrices(H, K)
     leaves = wide_stack(params, n_heads)
     grid = (B // BT,)
@@ -141,7 +146,7 @@ def fori_energy_forces(
                 bv[k][i] = vp[k]
             hc, xp, vp = layer_forward_wide(
                 read_p(lrefs, i), hc, xp, vp, upd_ref[i, 0],
-                e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm,
+                e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm, mm_edge=mm_edge,
                 n_real=n_real,
             )
             return hc, list(xp), list(vp)
@@ -212,7 +217,7 @@ def fori_energy_forces(
             def f(h_, xp_, vp_):
                 h2, xp2, vp2 = layer_forward_wide(
                     p, h_, xp_, vp_, upd,
-                    e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm,
+                    e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm, mm_edge=mm_edge,
                     n_real=n_real,
                 )
                 return h2, list(xp2), list(vp2)

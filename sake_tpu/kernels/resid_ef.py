@@ -1,0 +1,604 @@
+"""Residual-saving fused E+F kernels with a HAND-WRITTEN layer backward.
+
+Fourth kernel generation. Generations 1-3 (``fused_ef``, ``depthgrid_ef``,
+``fori_ef``) all rematerialize in the backward: each backward step runs
+``jax.vjp`` over the layer, whose traced pullback RE-RUNS the layer
+forward before applying cotangents — so one E+F evaluation costs ~3x the
+forward FLOPs (fwd kernel + re-fwd + cotangents). This file removes the
+re-forward:
+
+- The **forward kernel additionally streams compact residuals** to HBM —
+  exactly the nonlinearity activations the backward needs (distance ``r``,
+  ``exp(-r)``, RBF values, pre-SiLU edge activations, edge features,
+  semantic logits, attention weights, tanh outputs, pooled vectors, and
+  the small node-level pre-activations). ~1.1 MB/molecule/layer: two
+  orders of magnitude less than saving the lax autodiff graph (~80 MB),
+  and cheap against HBM bandwidth at the target rates.
+- The **backward kernel is the hand-derived pullback** of
+  ``depthgrid_ef.layer_forward_wide`` consuming those residuals: input
+  cotangents only (parameters are closed over), no forward recompute
+  beyond a handful of trivially cheap node-level matmuls (``a_j``/``a_i``)
+  and elementwise derivative evaluations. Total E+F cost drops to ~2.2x
+  forward FLOPs.
+
+Orchestration is the depth-on-grid pattern of ``depthgrid_ef``: grid
+``(B/BT, depth)``, carried state in VMEM scratch, per-(batch, depth)
+blocks streamed by BlockSpec index maps (reversed for the backward).
+
+Behavior: ``sake/layers.py:188-235`` + ``sake/models.py:56-61`` (same
+math as the lax path; verified against ``jax.vjp`` of the shared forward
+in ``tests/test_kernels.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sake_tpu.kernels.depthgrid_ef import (
+    _LEAF_NAMES,
+    _bspec,
+    _compiler_params,
+    _dbspec,
+    _flag_spec,
+    _full_spec,
+    _leaf_specs,
+    _make_mm_prec,
+    wide_stack,
+)
+from sake_tpu.kernels.functional import EPSILON, INF, ModelParams, _silu
+from sake_tpu.kernels.split_ef import head_expansion_matrices
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def _dsilu(x):
+    """d/dx silu(x) = sigmoid(x) * (1 + x * (1 - sigmoid(x)))."""
+    s = _sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+# Residual tensors, in kernel-boundary order. Edge residuals are stored
+# flattened as (BT, N*N, ch) (leading-dims reshape: layout-free); node
+# residuals as (BT, N, ch).
+_EDGE_RESIDS = ("r", "t", "rbf", "e0", "h_e", "sem_pre", "att", "coeff")
+_NODE_RESIDS = ("pool0", "pool1", "pool2", "ps0", "ps1", "node_pre", "uv",
+                "g0", "g1")
+
+
+def _edge_channels(R, H, K, C):
+    return dict(r=1, t=1, rbf=R, e0=H, h_e=H, sem_pre=K, att=K, coeff=C)
+
+
+def _node_channels(lay, C):
+    """Node-level residual widths, read off the actual weights."""
+    return dict(
+        pool0=C, pool1=C, pool2=C,
+        ps0=lay.w_post0.shape[-1], ps1=lay.w_post1.shape[-1],
+        node_pre=lay.w_node0.shape[-1], uv=lay.w_node1.shape[-1],
+        g0=lay.w_vel0.shape[-1], g1=1,
+    )
+
+
+def layer_fwd_resid(p, h, xp, vp, upd, *, e_rep, e_tile, mm, mm_edge=None,
+                    n_real=None):
+    """Forward of one layer, returning outputs AND the residual dict the
+    hand-written backward consumes. Must stay numerically identical to
+    ``depthgrid_ef.layer_forward_wide`` (tested)."""
+    BT, N, F = h.shape
+    R = p["w_in_j"].shape[-1]
+    H = p["w_o_j"].shape[-1]
+    if mm_edge is None:
+        mm_edge = mm
+    n_eff = float(n_real if n_real is not None else N)
+    h2d = h.reshape(BT * N, F)
+
+    d0 = [pk[:, None, :, :] - pk[:, :, None, :] for pk in xp]
+    r = jnp.sqrt(
+        jax.nn.relu(d0[0] * d0[0] + d0[1] * d0[1] + d0[2] * d0[2]) + EPSILON
+    )
+
+    a_j = (mm(h2d, p["w_in_j"]) + p["b_in"]).reshape(BT, N, R)
+    a_i = mm(h2d, p["w_in_i"]).reshape(BT, N, R)
+    pre = a_j[:, None, :, :] + a_i[:, :, None, :]
+    t = jnp.exp(-r)
+    rbf = jnp.exp(-p["rbf_b"] * (t - p["rbf_m"]) ** 2)
+    filtered = rbf * pre
+    o_j = mm(h2d, p["w_o_j"]).reshape(BT, N, H)
+    o_i = mm(h2d, p["w_o_i"]).reshape(BT, N, H)
+    o_f = mm_edge(filtered.reshape(BT * N * N, R), p["w_o_f"]).reshape(
+        BT, N, N, H
+    )
+    e0 = o_j[:, None] + o_i[:, :, None] + o_f + r * p["w_o_r"][0] + p["b_o0"]
+    h_e = mm_edge(_silu(e0).reshape(BT * N * N, H), p["w_o1"]).reshape(
+        BT, N, N, H
+    ) + p["b_o1"]
+
+    K = p["w_sem"].shape[-1]
+    sem_pre = mm_edge(h_e.reshape(BT * N * N, H), p["w_sem"]).reshape(
+        BT, N, N, K
+    ) + p["b_sem"]
+    logits = jnp.where(
+        sem_pre > 0, sem_pre, 2.0 * (jnp.exp(sem_pre / 2.0) - 1.0)
+    )
+    logits = logits - INF * jnp.eye(N, dtype=logits.dtype)[None, :, :, None]
+    if n_real is not None and n_real < N:
+        pad_sender = (
+            jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) >= n_real
+        ).astype(logits.dtype)
+        logits = logits - INF * pad_sender[None, None, :, :]
+    att = jax.nn.softmax(logits, axis=-2)
+
+    h_e_att = mm_edge(h_e.reshape(BT * N * N, H), e_rep) * mm_edge(
+        att.reshape(BT * N * N, K), e_tile
+    )
+    HK = h_e_att.shape[-1]
+    C = p["w_xmix"].shape[-1]
+    coeff = jnp.tanh(mm_edge(h_e_att, p["w_xmix"]).reshape(BT, N, N, C))
+
+    inv_r = 1.0 / (r + 1e-5)
+    pooled = [(coeff * (d0[k] * inv_r)).sum(axis=-2) for k in range(3)]
+    norm = [pk / n_eff for pk in pooled]
+    pool_sq = norm[0] ** 2 + norm[1] ** 2 + norm[2] ** 2
+    ps0 = mm(pool_sq.reshape(BT * N, C), p["w_post0"]) + p["b_post0"]
+    ps1 = mm(_silu(ps0), p["w_post1"]) + p["b_post1"]
+    h_comb = _silu(ps1)
+
+    hatt_sum = h_e_att.reshape(BT, N, N, HK).sum(axis=-2)
+    node_pre = (
+        mm(h2d, p["w_node_h"])
+        + mm(hatt_sum.reshape(BT * N, HK), p["w_node_agg"])
+        + mm(h_comb, p["w_node_comb"])
+        + p["b_node0"]
+    )
+    uv = mm(_silu(node_pre), p["w_node1"]) + p["b_node1"]
+    h_out = h + _silu(uv).reshape(BT, N, F)
+
+    delta = [
+        mm(pk.reshape(BT * N, C), p["w_vmix"]).reshape(BT, N, 1) / n_eff
+        for pk in pooled
+    ]
+    g0 = mm(h_out.reshape(BT * N, F), p["w_vel0"]) + p["b_vel0"]
+    g1 = mm(_silu(g0), p["w_vel1"])
+    gate = 2.0 * _sigmoid(g1).reshape(BT, N, 1)
+    v_new = [gate * vk + dk for vk, dk in zip(vp, delta)]
+    x_new = [xk + vk for xk, vk in zip(xp, v_new)]
+    xp_out = [xk + upd * (xn - xk) for xk, xn in zip(xp, x_new)]
+    vp_out = [vk + upd * (vn - vk) for vk, vn in zip(vp, v_new)]
+
+    e2 = lambda a: a.reshape(BT, N * N, -1)
+    resid = dict(
+        r=e2(r), t=e2(t), rbf=e2(rbf), e0=e2(e0), h_e=e2(h_e),
+        sem_pre=e2(sem_pre), att=e2(att), coeff=e2(coeff),
+        pool0=pooled[0], pool1=pooled[1], pool2=pooled[2],
+        ps0=ps0.reshape(BT, N, -1), ps1=ps1.reshape(BT, N, -1),
+        node_pre=node_pre.reshape(BT, N, -1), uv=uv.reshape(BT, N, -1),
+        g0=g0.reshape(BT, N, -1), g1=g1.reshape(BT, N, 1),
+    )
+    return h_out, xp_out, vp_out, resid
+
+
+def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
+                    d_vp_out, *, e_rep, e_tile, mm, mm_edge=None,
+                    n_real=None):
+    """Hand-written pullback of ``layer_fwd_resid`` w.r.t. its INPUTS
+    ``(h, xp, vp)`` — parameters are closed over (input-only cotangents,
+    matching what force evaluation needs). Consumes the residual dict; the
+    only recomputed forward values are ``a_j``/``a_i`` (two node-level
+    matmuls, needed for the rbf*pre product rule) and elementwise
+    derivative evaluations (sigmoids/exp) from saved pre-activations.
+
+    Returns ``(d_h, d_xp, d_vp)``.
+    """
+    BT = xp[0].shape[0]
+    N = xp[0].shape[1]
+    F = p["w_in_j"].shape[0]
+    R = p["w_in_j"].shape[-1]
+    H = p["w_o_j"].shape[-1]
+    K = p["w_sem"].shape[-1]
+    C = p["w_xmix"].shape[-1]
+    if mm_edge is None:
+        mm_edge = mm
+    n_eff = float(n_real if n_real is not None else N)
+    E = BT * N * N
+
+    e4 = lambda a: a.reshape(BT, N, N, -1)
+    r = e4(resid["r"])
+    t = e4(resid["t"])
+    rbf = e4(resid["rbf"])
+    e0 = e4(resid["e0"])
+    h_e = e4(resid["h_e"])
+    sem_pre = e4(resid["sem_pre"])
+    att = e4(resid["att"])
+    coeff = e4(resid["coeff"])
+    pooled = [resid["pool0"], resid["pool1"], resid["pool2"]]
+    ps0 = resid["ps0"].reshape(BT * N, -1)
+    ps1 = resid["ps1"].reshape(BT * N, -1)
+    node_pre = resid["node_pre"].reshape(BT * N, -1)
+    uv = resid["uv"].reshape(BT * N, -1)
+    g0 = resid["g0"].reshape(BT * N, -1)
+    g1 = resid["g1"].reshape(BT, N, 1)
+
+    # geometry recompute (cheap, VPU): displacements and units from inputs
+    d0 = [pk[:, None, :, :] - pk[:, :, None, :] for pk in xp]
+    inv_r = 1.0 / (r + 1e-5)
+
+    # --- EE/DD: position/velocity update gates -----------------------------
+    # x_out = x + upd*v_new ; v_out = v + upd*(v_new - v)
+    d_v_new = [upd * (dxk + dvk) for dxk, dvk in zip(d_xp_out, d_vp_out)]
+    gate = 2.0 * _sigmoid(g1)
+    d_gate = sum(dvn * vk for dvn, vk in zip(d_v_new, vp))  # (BT, N, 1)
+    d_delta = d_v_new
+    d_vp = [
+        gate * dvn + (1.0 - upd) * dvk
+        for dvn, dvk in zip(d_v_new, d_vp_out)
+    ]
+    d_xp = [dxk + 0.0 for dxk in d_xp_out]  # direct pass-through term
+
+    # --- CC: gate MLP -------------------------------------------------------
+    sig_g1 = _sigmoid(g1)
+    d_g1 = (d_gate * 2.0 * sig_g1 * (1.0 - sig_g1)).reshape(BT * N, 1)
+    d_sg0 = mm(d_g1, p["w_vel1"].T)
+    d_g0 = d_sg0 * _dsilu(g0)
+    d_h_out2d = mm(d_g0, p["w_vel0"].T)  # (BT*N, F)
+
+    # --- BB: delta_k = (pooled_k @ Wv)/n ------------------------------------
+    d_pooled = [
+        mm(dd.reshape(BT * N, 1), p["w_vmix"].T).reshape(BT, N, C) / n_eff
+        for dd in d_delta
+    ]
+
+    # --- AA: h_out = h_in + silu(uv) ----------------------------------------
+    dho = d_h_out.reshape(BT * N, F) + d_h_out2d
+    d_h2d = dho + 0.0  # d_h_in accumulator (h_out = h_in + ...)
+    d_uv = dho * _dsilu(uv)
+    d_snp = mm(d_uv, p["w_node1"].T)
+    d_node_pre = d_snp * _dsilu(node_pre)
+
+    # --- Z: node_pre = h@Wnh + hatt@Wna + h_comb@Wnc ------------------------
+    d_h2d = d_h2d + mm(d_node_pre, p["w_node_h"].T)
+    d_hatt = mm(d_node_pre, p["w_node_agg"].T)  # (BT*N, HK)
+    d_h_comb = mm(d_node_pre, p["w_node_comb"].T)  # (BT*N, C)
+
+    # --- X/W: post-norm MLP --------------------------------------------------
+    d_ps1 = d_h_comb * _dsilu(ps1)
+    d_sp0 = mm(d_ps1, p["w_post1"].T)
+    d_ps0 = d_sp0 * _dsilu(ps0)
+    d_pool_sq = mm(d_ps0, p["w_post0"].T).reshape(BT, N, C)
+
+    # --- V: pool_sq = sum_k (pooled_k/n)^2 ----------------------------------
+    for k in range(3):
+        d_pooled[k] = d_pooled[k] + 2.0 * pooled[k] * d_pool_sq / (
+            n_eff * n_eff
+        )
+
+    # --- U/T: pooled_k = sum_j coeff * u_k ----------------------------------
+    u = [dk * inv_r for dk in d0]
+    d_coeff = (
+        d_pooled[0][:, :, None, :] * u[0]
+        + d_pooled[1][:, :, None, :] * u[1]
+        + d_pooled[2][:, :, None, :] * u[2]
+    )  # (BT, N, N, C)
+    d_u = [
+        (coeff * d_pooled[k][:, :, None, :]).sum(axis=-1, keepdims=True)
+        for k in range(3)
+    ]  # 3 x (BT, N, N, 1)
+    d_d0 = [du * inv_r for du in d_u]
+    d_ir = d_u[0] * d0[0] + d_u[1] * d0[1] + d_u[2] * d0[2]
+    d_r = -(inv_r * inv_r) * d_ir  # from ir = 1/(r + 1e-5)
+
+    # --- S: coeff = tanh(he_att @ Wx) ---------------------------------------
+    d_xm = (d_coeff * (1.0 - coeff * coeff)).reshape(E, C)
+    d_he_att = mm_edge(d_xm, p["w_xmix"].T)  # (E, HK)
+
+    # --- Y: hatt = sum_j he_att (broadcast cotangent over senders) ----------
+    HK = d_he_att.shape[-1]
+    d_he_att = d_he_att.reshape(BT, N, N, HK) + d_hatt.reshape(
+        BT, N, 1, HK
+    )
+
+    # --- R/Q: he_att = (h_e@Erep) * (att@Etile) -----------------------------
+    heE = mm_edge(h_e.reshape(E, H), e_rep).reshape(BT, N, N, HK)
+    attE = mm_edge(att.reshape(E, K), e_tile).reshape(BT, N, N, HK)
+    d_h_e = mm_edge((d_he_att * attE).reshape(E, HK), e_rep.T).reshape(
+        BT, N, N, H
+    )
+    d_att = mm_edge((d_he_att * heE).reshape(E, HK), e_tile.T).reshape(
+        BT, N, N, K
+    )
+
+    # --- P: softmax over senders j (axis -2) --------------------------------
+    d_logits = att * (d_att - (d_att * att).sum(axis=-2, keepdims=True))
+
+    # --- O/N: logits = celu2(sem_pre) (+ additive masks) --------------------
+    dcelu = jnp.where(sem_pre > 0, 1.0, jnp.exp(sem_pre / 2.0))
+    d_sem_pre = d_logits * dcelu
+    d_h_e = d_h_e + mm_edge(d_sem_pre.reshape(E, K), p["w_sem"].T).reshape(
+        BT, N, N, H
+    )
+
+    # --- M/L: h_e = silu(e0) @ Wo1 ------------------------------------------
+    d_se = mm_edge(d_h_e.reshape(E, H), p["w_o1"].T)
+    d_e0 = (d_se * _dsilu(e0.reshape(E, H))).reshape(BT, N, N, H)
+
+    # --- K: e0 = o_j[j] + o_i[i] + o_f + r*wor ------------------------------
+    d_o_j = d_e0.sum(axis=-3)  # (BT, N, H) at sender index
+    d_o_i = d_e0.sum(axis=-2)  # (BT, N, H) at receiver index
+    d_r = d_r + (d_e0 * p["w_o_r"][0]).sum(axis=-1, keepdims=True)
+    # --- J/H: o_f = (rbf*pre) @ Wof ------------------------------------------
+    d_filtered = mm_edge(d_e0.reshape(E, H), p["w_o_f"].T).reshape(
+        BT, N, N, R
+    )
+    # pre = a_j[j] + a_i[i], recomputed from the boundary h_in (two tiny
+    # node-level matmuls — the only forward matmuls the backward redoes)
+    h2d_in = h_in.reshape(BT * N, F)
+    a_j = (mm(h2d_in, p["w_in_j"]) + p["b_in"]).reshape(BT, N, R)
+    a_i = mm(h2d_in, p["w_in_i"]).reshape(BT, N, R)
+    pre = a_j[:, None, :, :] + a_i[:, :, None, :]
+    d_rbf = d_filtered * pre
+    d_pre = d_filtered * rbf
+    d_a_j = d_pre.sum(axis=-3)  # (BT, N, R)
+    d_a_i = d_pre.sum(axis=-2)
+    d_h2d = (
+        d_h2d
+        + mm(d_a_j.reshape(BT * N, R), p["w_in_j"].T)
+        + mm(d_a_i.reshape(BT * N, R), p["w_in_i"].T)
+        + mm(d_o_j.reshape(BT * N, H), p["w_o_j"].T)
+        + mm(d_o_i.reshape(BT * N, H), p["w_o_i"].T)
+    )
+
+    # --- E/D: rbf = exp(-b*(t-m)^2), t = exp(-r) ----------------------------
+    d_t = (d_rbf * rbf * (-2.0 * p["rbf_b"] * (t - p["rbf_m"]))).sum(
+        axis=-1, keepdims=True
+    )
+    d_r = d_r + (-t) * d_t
+
+    # --- C/B: r = sqrt(relu(s)+eps), s = sum d0^2, d0 = x[j]-x[i] -----------
+    relu_s_pos = (r * r > EPSILON).astype(r.dtype)  # relu'(s) as seen by jax
+    d_s = d_r * (0.5 / r) * relu_s_pos
+    for k in range(3):
+        d_d0[k] = d_d0[k] + 2.0 * d0[k] * d_s
+    for k in range(3):
+        # d0[b,i,j] = x[b,j] - x[b,i]
+        d_xp[k] = (
+            d_xp[k]
+            + d_d0[k].sum(axis=-3)  # + at sender j
+            - d_d0[k].sum(axis=-2)  # - at receiver i
+        )
+
+    d_h = d_h2d.reshape(BT, N, F)
+    return d_h, d_xp, d_vp
+
+
+def resid_energy_forces(
+    params: ModelParams,
+    h: jax.Array,  # (B, N, F_in)
+    x: jax.Array,  # (B, N, 3)
+    *,
+    n_heads: int = 4,
+    update: Sequence[bool] | bool = True,
+    batch_tile: int = 8,
+    matmul_dtype=None,
+    precision=None,
+    edge_matmul_dtype=None,
+    edge_precision=None,
+    resid_dtype=jnp.float32,
+    pad_atoms: bool = False,
+    interpret: bool = False,
+):
+    """Fused (E, F) evaluation with residual streaming + hand-written
+    backward: ``E (B,)``, ``F = -dE/dx (B, N, 3)``.
+
+    ``resid_dtype=jnp.bfloat16`` halves residual HBM traffic (the backward
+    evaluates derivative formulas on bf16-rounded activations — error
+    comparable to bf16 edge matmuls).
+    """
+    B, N, F_in = h.shape
+    n_real = None
+    if pad_atoms and N % 8:
+        n_real = N
+        n_pad = (-N) % 8
+        h = jnp.pad(h, ((0, 0), (0, n_pad), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
+        N = N + n_pad
+    BT = batch_tile
+    if B % BT:
+        raise ValueError(f"batch {B} not divisible by batch_tile {BT}")
+    depth = len(params.layers)
+    updates = [update] * depth if isinstance(update, bool) else list(update)
+    upd_flags = jnp.asarray(updates, jnp.float32).reshape(depth, 1)
+    F = params.w_embed.shape[-1]
+    lay0 = params.layers[0]
+    R = lay0.edge.w_in.shape[-1]
+    H = lay0.edge.w_out0.shape[-1]
+    K = n_heads
+    C = lay0.w_xmix.shape[-1]
+    mm = _make_mm_prec(matmul_dtype, precision)
+    mm_edge = None
+    if edge_matmul_dtype is not None or edge_precision is not None:
+        mm_edge = _make_mm_prec(edge_matmul_dtype, edge_precision)
+    e_rep, e_tile = head_expansion_matrices(H, K)
+    leaves = wide_stack(params, n_heads)
+    grid = (B // BT, depth)
+
+    ech = _edge_channels(R, H, K, C)
+    nch = _node_channels(lay0, C)
+    resid_shapes = [
+        ((depth, B, N * N, ech[name]), name) for name in _EDGE_RESIDS
+    ] + [((depth, B, N, nch[name]), name) for name in _NODE_RESIDS]
+    n_resid = len(resid_shapes)
+
+    h0 = (mm(h.reshape(B * N, F_in), params.w_embed) + params.b_embed).reshape(
+        B, N, F
+    )
+    x_planes = [x[..., k : k + 1] for k in range(3)]
+
+    def read_p(lrefs):
+        return {name: r[0] for name, r in zip(_LEAF_NAMES, lrefs)}
+
+    # --- forward kernel -----------------------------------------------------
+    def fwd_kernel(*refs):
+        x0_ref, x1_ref, x2_ref, h_ref, upd_ref, erep_ref, etile_ref = refs[:7]
+        lrefs = refs[7 : 7 + len(leaves)]
+        o = 7 + len(leaves)
+        (bh_ref, bx0_ref, bx1_ref, bx2_ref, bv0_ref, bv1_ref, bv2_ref,
+         hfin_ref) = refs[o : o + 8]
+        rrefs = refs[o + 8 : o + 8 + n_resid]
+        sh, sx0, sx1, sx2, sv0, sv1, sv2 = refs[o + 8 + n_resid :]
+        sx, sv = (sx0, sx1, sx2), (sv0, sv1, sv2)
+
+        d = pl.program_id(1)
+
+        @pl.when(d == 0)
+        def _():
+            sh[:] = h_ref[:]
+            for k, xr in enumerate((x0_ref, x1_ref, x2_ref)):
+                sx[k][:] = xr[:]
+                sv[k][:] = jnp.zeros_like(xr[:])
+
+        hc = sh[:]
+        xp = [sx[k][:] for k in range(3)]
+        vp = [sv[k][:] for k in range(3)]
+        bh_ref[0] = hc
+        for k, (bxr, bvr) in enumerate(
+            zip((bx0_ref, bx1_ref, bx2_ref), (bv0_ref, bv1_ref, bv2_ref))
+        ):
+            bxr[0] = xp[k]
+            bvr[0] = vp[k]
+
+        h2, xp2, vp2, resid = layer_fwd_resid(
+            read_p(lrefs), hc, xp, vp, upd_ref[d, 0],
+            e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm, mm_edge=mm_edge,
+            n_real=n_real,
+        )
+        for (_, name), rr in zip(resid_shapes, rrefs):
+            rr[0] = resid[name].astype(rr.dtype)
+        sh[:] = h2
+        for k in range(3):
+            sx[k][:] = xp2[k]
+            sv[k][:] = vp2[k]
+        hfin_ref[:] = h2
+
+    plane = jax.ShapeDtypeStruct((B, N, 1), jnp.float32)
+    bplane = jax.ShapeDtypeStruct((depth, B, N, 1), jnp.float32)
+    fwd_outs = pl.pallas_call(
+        fwd_kernel,
+        grid=grid,
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((depth, B, N, F), jnp.float32)]
+            + [bplane] * 6
+            + [jax.ShapeDtypeStruct((B, N, F), jnp.float32)]
+            + [jax.ShapeDtypeStruct(s, resid_dtype) for s, _ in resid_shapes]
+        ),
+        in_specs=(
+            [_bspec((B, N, 1), BT)] * 3
+            + [_bspec((B, N, F), BT), _flag_spec(depth)]
+            + [_full_spec(e_rep), _full_spec(e_tile)]
+            + _leaf_specs(leaves)
+        ),
+        out_specs=tuple(
+            [_dbspec((depth, B, N, F), BT)]
+            + [_dbspec((depth, B, N, 1), BT)] * 6
+            + [_bspec((B, N, F), BT)]
+            + [_dbspec(s, BT) for s, _ in resid_shapes]
+        ),
+        scratch_shapes=[pltpu.VMEM((BT, N, F), jnp.float32)]
+        + [pltpu.VMEM((BT, N, 1), jnp.float32)] * 6,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(*x_planes, h0, upd_flags, e_rep, e_tile, *leaves)
+    bh, bx0, bx1, bx2, bv0, bv1, bv2, h_fin = fwd_outs[:8]
+    resid_arrays = fwd_outs[8:]
+
+    # --- readout + seed cotangent (XLA) ------------------------------------
+    def readout_e(h_):
+        out = mm(
+            _silu(mm(h_.reshape(B * N, F), params.w_out0) + params.b_out0),
+            params.w_out1,
+        ) + params.b_out1
+        out = out.reshape(B, N, -1)
+        if n_real is not None:
+            out = out[:, :n_real]
+        return out.sum(axis=(-2, -1))
+
+    e, readout_vjp = jax.vjp(readout_e, h_fin)
+    (dh_fin,) = readout_vjp(jnp.ones_like(e))
+
+    # --- backward kernel: hand-written pullback, reversed depth -------------
+    def bwd_kernel(*refs):
+        (bh_ref, bx0_ref, bx1_ref, bx2_ref, bv0_ref, bv1_ref, bv2_ref,
+         dhf_ref, upd_ref, erep_ref, etile_ref) = refs[:11]
+        lrefs = refs[11 : 11 + len(leaves)]
+        o = 11 + len(leaves)
+        rrefs = refs[o : o + n_resid]
+        dx0_ref, dx1_ref, dx2_ref = refs[o + n_resid : o + n_resid + 3]
+        sdh, sdx0, sdx1, sdx2, sdv0, sdv1, sdv2 = refs[o + n_resid + 3 :]
+        sdx, sdv = (sdx0, sdx1, sdx2), (sdv0, sdv1, sdv2)
+
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            sdh[:] = dhf_ref[:]
+            zero = jnp.zeros((BT, N, 1), jnp.float32)
+            for k in range(3):
+                sdx[k][:] = zero
+                sdv[k][:] = zero
+
+        dh = sdh[:]
+        dxp = [sdx[k][:] for k in range(3)]
+        dvp = [sdv[k][:] for k in range(3)]
+
+        h_in = bh_ref[0]
+        xp_in = [r[0] for r in (bx0_ref, bx1_ref, bx2_ref)]
+        vp_in = [r[0] for r in (bv0_ref, bv1_ref, bv2_ref)]
+        resid = {
+            name: rr[0].astype(jnp.float32)
+            for (_, name), rr in zip(resid_shapes, rrefs)
+        }
+        upd = upd_ref[depth - 1 - t, 0]
+
+        dh2, dxp2, dvp2 = layer_bwd_resid(
+            read_p(lrefs), resid, h_in, xp_in, vp_in, upd, dh, dxp, dvp,
+            e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm, mm_edge=mm_edge,
+            n_real=n_real,
+        )
+        sdh[:] = dh2
+        for k in range(3):
+            sdx[k][:] = dxp2[k]
+            sdv[k][:] = dvp2[k]
+        dx0_ref[:] = dxp2[0]
+        dx1_ref[:] = dxp2[1]
+        dx2_ref[:] = dxp2[2]
+
+    dx0, dx1, dx2 = pl.pallas_call(
+        bwd_kernel,
+        grid=grid,
+        out_shape=(plane, plane, plane),
+        in_specs=(
+            [_dbspec((depth, B, N, F), BT, rev_depth=depth)]
+            + [_dbspec((depth, B, N, 1), BT, rev_depth=depth)] * 6
+            + [_bspec((B, N, F), BT)]
+            + [_flag_spec(depth)]
+            + [_full_spec(e_rep), _full_spec(e_tile)]
+            + _leaf_specs(leaves, rev_depth=depth)
+            + [_dbspec(s, BT, rev_depth=depth) for s, _ in resid_shapes]
+        ),
+        out_specs=(_bspec((B, N, 1), BT),) * 3,
+        scratch_shapes=[pltpu.VMEM((BT, N, F), jnp.float32)]
+        + [pltpu.VMEM((BT, N, 1), jnp.float32)] * 6,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(bh, bx0, bx1, bx2, bv0, bv1, bv2, dh_fin, upd_flags, e_rep, e_tile,
+      *leaves, *resid_arrays)
+
+    f = -jnp.concatenate([dx0, dx1, dx2], axis=-1)
+    if n_real is not None:
+        f = f[:, :n_real]
+    return e, f

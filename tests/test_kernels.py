@@ -278,3 +278,103 @@ def test_fori_kernel_padded_atoms(setup):
     )
     np.testing.assert_allclose(e, e_ref, **TOL)
     np.testing.assert_allclose(f, -g, **TOL)
+
+
+@pytest.mark.parametrize("n_real,upd", [(None, 1.0), (5, 1.0), (None, 0.0), (5, 0.3)])
+def test_resid_backward_matches_vjp(setup, n_real, upd):
+    """The hand-written layer backward (``resid_ef.layer_bwd_resid``) must
+    match ``jax.vjp`` of the shared forward exactly (same fp32 graph, no
+    recompute differences beyond reassociation)."""
+    from sake_tpu.kernels.depthgrid_ef import (
+        layer_forward_wide,
+        wide_stack,
+        _LEAF_NAMES,
+    )
+    from sake_tpu.kernels.resid_ef import layer_fwd_resid, layer_bwd_resid
+    from sake_tpu.kernels.split_ef import head_expansion_matrices
+
+    _, _, kp, h_raw, x = setup
+    rng = np.random.RandomState(3)
+    B, N, _ = h_raw.shape
+    leaves = wide_stack(kp, n_heads=4)
+    p = {name: leaf[0] for name, leaf in zip(_LEAF_NAMES, leaves)}
+    e_rep, e_tile = head_expansion_matrices(16, 4)
+    mm = lambda a, w: jnp.dot(a, w, preferred_element_type=jnp.float32)
+    # the layer operates post-embedding (hidden width)
+    h = (h_raw @ kp.w_embed + kp.b_embed).astype(jnp.float32)
+
+    xp = [x[..., k : k + 1] for k in range(3)]
+    vp = [jnp.asarray(rng.randn(B, N, 1), jnp.float32) for _ in range(3)]
+
+    def f(h_, xp_, vp_):
+        h2, xp2, vp2 = layer_forward_wide(
+            p, h_, xp_, vp_, upd, e_rep=e_rep, e_tile=e_tile, mm=mm,
+            n_real=n_real,
+        )
+        return h2, list(xp2), list(vp2)
+
+    out, vjp = jax.vjp(f, h, list(xp), list(vp))
+    h2_ref, xp2_ref, vp2_ref = out
+
+    h2, xp2, vp2, resid = layer_fwd_resid(
+        p, h, xp, vp, upd, e_rep=e_rep, e_tile=e_tile, mm=mm, n_real=n_real
+    )
+    np.testing.assert_allclose(h2, h2_ref, **TOL)
+    for k in range(3):
+        np.testing.assert_allclose(xp2[k], xp2_ref[k], **TOL)
+        np.testing.assert_allclose(vp2[k], vp2_ref[k], **TOL)
+
+    dh = jnp.asarray(rng.randn(*h2.shape), jnp.float32)
+    dxp = [jnp.asarray(rng.randn(B, N, 1), jnp.float32) for _ in range(3)]
+    dvp = [jnp.asarray(rng.randn(B, N, 1), jnp.float32) for _ in range(3)]
+    want_dh, want_dxp, want_dvp = vjp((dh, dxp, dvp))
+
+    got_dh, got_dxp, got_dvp = layer_bwd_resid(
+        p, resid, h, xp, vp, upd, dh, dxp, dvp,
+        e_rep=e_rep, e_tile=e_tile, mm=mm, n_real=n_real,
+    )
+    np.testing.assert_allclose(got_dh, want_dh, rtol=1e-3, atol=1e-4)
+    for k in range(3):
+        np.testing.assert_allclose(got_dxp[k], want_dxp[k], rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(got_dvp[k], want_dvp[k], rtol=1e-3, atol=1e-4)
+
+
+def test_resid_kernel_interpret(setup):
+    """The residual-streaming kernel pair (fwd + hand-written bwd) must
+    reproduce E and F in interpreter mode."""
+    from sake_tpu.kernels.resid_ef import resid_energy_forces
+
+    model, params, kp, h, x = setup
+
+    def energy(x_):
+        out, _, _ = model.apply(params, h, x_)
+        return out.sum(), out.sum(axis=(-2, -1))
+
+    (_, e_ref), g = jax.value_and_grad(energy, has_aux=True)(x)
+    e, f = resid_energy_forces(kp, h, x, batch_tile=2, interpret=True)
+    np.testing.assert_allclose(e, e_ref, **TOL)
+    np.testing.assert_allclose(f, -g, **TOL)
+
+
+def test_resid_kernel_padded_update_schedule(setup):
+    """Residual kernel with atom padding AND a mixed update schedule."""
+    from sake_tpu.kernels.resid_ef import resid_energy_forces
+
+    _, _, _, h, x = setup
+    model = SAKEModel(
+        hidden_features=16, out_features=1, depth=3, update=[False, True, False]
+    )
+    params = model.init(jax.random.PRNGKey(2), h, x)
+    kp = model_params_from_linen(params)
+
+    def energy(x_):
+        out, _, _ = model.apply(params, h, x_)
+        return out.sum(), out.sum(axis=(-2, -1))
+
+    (_, e_ref), g = jax.value_and_grad(energy, has_aux=True)(x)
+    e, f = resid_energy_forces(
+        kp, h, x, batch_tile=2, update=[False, True, False],
+        pad_atoms=True, interpret=True,
+    )
+    np.testing.assert_allclose(e, e_ref, **TOL)
+    np.testing.assert_allclose(f, -g, **TOL)
