@@ -99,10 +99,17 @@ def main():
     elif impl == "resid":
         from sake_tpu.kernels.resid_ef import resid_energy_forces
 
-        rdt = {"bf16": jnp.bfloat16, "f32": jnp.float32}[kv.get("rdtype", "f32")]
+        rd = kv.get("rdtype", "f32")
+        rdt = jnp.float32 if rd == "f32" else jnp.bfloat16
+        from sake_tpu.kernels.resid_ef import _EDGE_RESIDS, _NODE_RESIDS
+        lowp = None
+        if rd == "bf16x":  # everything except the geometry planes
+            lowp = set(_EDGE_RESIDS + _NODE_RESIDS) - {"r", "t"}
+        ch = int(kv.get("ch", 512))
         ef = jax.jit(
             lambda p, xx: resid_energy_forces(
-                p, h, xx, pad_atoms=pad, resid_dtype=rdt, **kw
+                p, h, xx, pad_atoms=pad, resid_dtype=rdt, chunk=ch,
+                resid_lowp=lowp, **kw
             )
         )
     else:

@@ -76,6 +76,18 @@ def _edge_channels(R, H, K, C):
     return dict(r=1, t=1, rbf=R, e0=H, h_e=H, sem_pre=K, att=K, coeff=C)
 
 
+# Residuals allowed to round to bf16 when ``resid_dtype=bfloat16``:
+# everything EXCEPT the geometry planes (r, t) — (E, 1) slivers whose
+# rounding poisons forces (bf16-r pushed f_err from 4.4e-3 to 2.5e-2,
+# past the 2x-lax acceptance gate) while saving <1% of the traffic.
+# Measured (v5e, batch 2048): this set = 23.5k evals/s at f_err 4.4e-3.
+_RESID_LOWP = set(_EDGE_RESIDS + _NODE_RESIDS) - {"r", "t"}
+
+
+def _resid_dtype_for(name, resid_dtype, lowp=None):
+    return resid_dtype if name in (lowp or _RESID_LOWP) else jnp.float32
+
+
 def _node_channels(lay, C):
     """Node-level residual widths, read off the actual weights."""
     return dict(
@@ -390,6 +402,8 @@ def resid_energy_forces(
     edge_precision=None,
     resid_dtype=jnp.float32,
     pad_atoms: bool = False,
+    chunk: int | None = 512,
+    resid_lowp=None,
     interpret: bool = False,
 ):
     """Fused (E, F) evaluation with residual streaming + hand-written
@@ -398,6 +412,11 @@ def resid_energy_forces(
     ``resid_dtype=jnp.bfloat16`` halves residual HBM traffic (the backward
     evaluates derivative formulas on bf16-rounded activations — error
     comparable to bf16 edge matmuls).
+
+    ``chunk``: residuals for a whole batch do not fit in HBM (~6 MB/eval
+    f32: 12.6 GB at batch 2048), so the fwd+readout+bwd pipeline runs per
+    batch chunk under ``lax.map`` — only one chunk's residuals are ever
+    live. The mapped body is compiled once regardless of chunk count.
     """
     B, N, F_in = h.shape
     n_real = None
@@ -425,178 +444,208 @@ def resid_energy_forces(
         mm_edge = _make_mm_prec(edge_matmul_dtype, edge_precision)
     e_rep, e_tile = head_expansion_matrices(H, K)
     leaves = wide_stack(params, n_heads)
-    grid = (B // BT, depth)
-
     ech = _edge_channels(R, H, K, C)
     nch = _node_channels(lay0, C)
-    resid_shapes = [
-        ((depth, B, N * N, ech[name]), name) for name in _EDGE_RESIDS
-    ] + [((depth, B, N, nch[name]), name) for name in _NODE_RESIDS]
-    n_resid = len(resid_shapes)
 
-    h0 = (mm(h.reshape(B * N, F_in), params.w_embed) + params.b_embed).reshape(
-        B, N, F
-    )
-    x_planes = [x[..., k : k + 1] for k in range(3)]
+    h0_full = (
+        mm(h.reshape(B * N, F_in), params.w_embed) + params.b_embed
+    ).reshape(B, N, F)
+    x_planes_full = [x[..., k : k + 1] for k in range(3)]
 
     def read_p(lrefs):
         return {name: r[0] for name, r in zip(_LEAF_NAMES, lrefs)}
 
-    # --- forward kernel -----------------------------------------------------
-    def fwd_kernel(*refs):
-        x0_ref, x1_ref, x2_ref, h_ref, upd_ref, erep_ref, etile_ref = refs[:7]
-        lrefs = refs[7 : 7 + len(leaves)]
-        o = 7 + len(leaves)
-        (bh_ref, bx0_ref, bx1_ref, bx2_ref, bv0_ref, bv1_ref, bv2_ref,
-         hfin_ref) = refs[o : o + 8]
-        rrefs = refs[o + 8 : o + 8 + n_resid]
-        sh, sx0, sx1, sx2, sv0, sv1, sv2 = refs[o + 8 + n_resid :]
-        sx, sv = (sx0, sx1, sx2), (sv0, sv1, sv2)
+    def _pipeline(h0, x_planes):
+        Bc = h0.shape[0]
+        grid = (Bc // BT, depth)
+        resid_shapes = [
+            ((depth, Bc, N * N, ech[name]), name) for name in _EDGE_RESIDS
+        ] + [((depth, Bc, N, nch[name]), name) for name in _NODE_RESIDS]
+        n_resid = len(resid_shapes)
 
-        d = pl.program_id(1)
+        # --- forward kernel -----------------------------------------------------
+        def fwd_kernel(*refs):
+            x0_ref, x1_ref, x2_ref, h_ref, upd_ref, erep_ref, etile_ref = refs[:7]
+            lrefs = refs[7 : 7 + len(leaves)]
+            o = 7 + len(leaves)
+            (bh_ref, bx0_ref, bx1_ref, bx2_ref, bv0_ref, bv1_ref, bv2_ref,
+             hfin_ref) = refs[o : o + 8]
+            rrefs = refs[o + 8 : o + 8 + n_resid]
+            sh, sx0, sx1, sx2, sv0, sv1, sv2 = refs[o + 8 + n_resid :]
+            sx, sv = (sx0, sx1, sx2), (sv0, sv1, sv2)
 
-        @pl.when(d == 0)
-        def _():
-            sh[:] = h_ref[:]
-            for k, xr in enumerate((x0_ref, x1_ref, x2_ref)):
-                sx[k][:] = xr[:]
-                sv[k][:] = jnp.zeros_like(xr[:])
+            d = pl.program_id(1)
 
-        hc = sh[:]
-        xp = [sx[k][:] for k in range(3)]
-        vp = [sv[k][:] for k in range(3)]
-        bh_ref[0] = hc
-        for k, (bxr, bvr) in enumerate(
-            zip((bx0_ref, bx1_ref, bx2_ref), (bv0_ref, bv1_ref, bv2_ref))
-        ):
-            bxr[0] = xp[k]
-            bvr[0] = vp[k]
+            @pl.when(d == 0)
+            def _():
+                sh[:] = h_ref[:]
+                for k, xr in enumerate((x0_ref, x1_ref, x2_ref)):
+                    sx[k][:] = xr[:]
+                    sv[k][:] = jnp.zeros_like(xr[:])
 
-        h2, xp2, vp2, resid = layer_fwd_resid(
-            read_p(lrefs), hc, xp, vp, upd_ref[d, 0],
-            e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm, mm_edge=mm_edge,
-            n_real=n_real,
-        )
-        for (_, name), rr in zip(resid_shapes, rrefs):
-            rr[0] = resid[name].astype(rr.dtype)
-        sh[:] = h2
-        for k in range(3):
-            sx[k][:] = xp2[k]
-            sv[k][:] = vp2[k]
-        hfin_ref[:] = h2
+            hc = sh[:]
+            xp = [sx[k][:] for k in range(3)]
+            vp = [sv[k][:] for k in range(3)]
+            bh_ref[0] = hc
+            for k, (bxr, bvr) in enumerate(
+                zip((bx0_ref, bx1_ref, bx2_ref), (bv0_ref, bv1_ref, bv2_ref))
+            ):
+                bxr[0] = xp[k]
+                bvr[0] = vp[k]
 
-    plane = jax.ShapeDtypeStruct((B, N, 1), jnp.float32)
-    bplane = jax.ShapeDtypeStruct((depth, B, N, 1), jnp.float32)
-    fwd_outs = pl.pallas_call(
-        fwd_kernel,
-        grid=grid,
-        out_shape=tuple(
-            [jax.ShapeDtypeStruct((depth, B, N, F), jnp.float32)]
-            + [bplane] * 6
-            + [jax.ShapeDtypeStruct((B, N, F), jnp.float32)]
-            + [jax.ShapeDtypeStruct(s, resid_dtype) for s, _ in resid_shapes]
-        ),
-        in_specs=(
-            [_bspec((B, N, 1), BT)] * 3
-            + [_bspec((B, N, F), BT), _flag_spec(depth)]
-            + [_full_spec(e_rep), _full_spec(e_tile)]
-            + _leaf_specs(leaves)
-        ),
-        out_specs=tuple(
-            [_dbspec((depth, B, N, F), BT)]
-            + [_dbspec((depth, B, N, 1), BT)] * 6
-            + [_bspec((B, N, F), BT)]
-            + [_dbspec(s, BT) for s, _ in resid_shapes]
-        ),
-        scratch_shapes=[pltpu.VMEM((BT, N, F), jnp.float32)]
-        + [pltpu.VMEM((BT, N, 1), jnp.float32)] * 6,
-        compiler_params=_compiler_params(),
-        interpret=interpret,
-    )(*x_planes, h0, upd_flags, e_rep, e_tile, *leaves)
-    bh, bx0, bx1, bx2, bv0, bv1, bv2, h_fin = fwd_outs[:8]
-    resid_arrays = fwd_outs[8:]
-
-    # --- readout + seed cotangent (XLA) ------------------------------------
-    def readout_e(h_):
-        out = mm(
-            _silu(mm(h_.reshape(B * N, F), params.w_out0) + params.b_out0),
-            params.w_out1,
-        ) + params.b_out1
-        out = out.reshape(B, N, -1)
-        if n_real is not None:
-            out = out[:, :n_real]
-        return out.sum(axis=(-2, -1))
-
-    e, readout_vjp = jax.vjp(readout_e, h_fin)
-    (dh_fin,) = readout_vjp(jnp.ones_like(e))
-
-    # --- backward kernel: hand-written pullback, reversed depth -------------
-    def bwd_kernel(*refs):
-        (bh_ref, bx0_ref, bx1_ref, bx2_ref, bv0_ref, bv1_ref, bv2_ref,
-         dhf_ref, upd_ref, erep_ref, etile_ref) = refs[:11]
-        lrefs = refs[11 : 11 + len(leaves)]
-        o = 11 + len(leaves)
-        rrefs = refs[o : o + n_resid]
-        dx0_ref, dx1_ref, dx2_ref = refs[o + n_resid : o + n_resid + 3]
-        sdh, sdx0, sdx1, sdx2, sdv0, sdv1, sdv2 = refs[o + n_resid + 3 :]
-        sdx, sdv = (sdx0, sdx1, sdx2), (sdv0, sdv1, sdv2)
-
-        t = pl.program_id(1)
-
-        @pl.when(t == 0)
-        def _():
-            sdh[:] = dhf_ref[:]
-            zero = jnp.zeros((BT, N, 1), jnp.float32)
+            h2, xp2, vp2, resid = layer_fwd_resid(
+                read_p(lrefs), hc, xp, vp, upd_ref[d, 0],
+                e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm, mm_edge=mm_edge,
+                n_real=n_real,
+            )
+            for (_, name), rr in zip(resid_shapes, rrefs):
+                rr[0] = resid[name].astype(rr.dtype)
+            sh[:] = h2
             for k in range(3):
-                sdx[k][:] = zero
-                sdv[k][:] = zero
+                sx[k][:] = xp2[k]
+                sv[k][:] = vp2[k]
+            hfin_ref[:] = h2
 
-        dh = sdh[:]
-        dxp = [sdx[k][:] for k in range(3)]
-        dvp = [sdv[k][:] for k in range(3)]
+        plane = jax.ShapeDtypeStruct((Bc, N, 1), jnp.float32)
+        bplane = jax.ShapeDtypeStruct((depth, Bc, N, 1), jnp.float32)
+        fwd_outs = pl.pallas_call(
+            fwd_kernel,
+            grid=grid,
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((depth, Bc, N, F), jnp.float32)]
+                + [bplane] * 6
+                + [jax.ShapeDtypeStruct((Bc, N, F), jnp.float32)]
+                + [
+                jax.ShapeDtypeStruct(
+                    s, _resid_dtype_for(nm, resid_dtype, resid_lowp)
+                )
+                for s, nm in resid_shapes
+            ]
+            ),
+            in_specs=(
+                [_bspec((Bc, N, 1), BT)] * 3
+                + [_bspec((Bc, N, F), BT), _flag_spec(depth)]
+                + [_full_spec(e_rep), _full_spec(e_tile)]
+                + _leaf_specs(leaves)
+            ),
+            out_specs=tuple(
+                [_dbspec((depth, Bc, N, F), BT)]
+                + [_dbspec((depth, Bc, N, 1), BT)] * 6
+                + [_bspec((Bc, N, F), BT)]
+                + [_dbspec(s, BT) for s, _ in resid_shapes]
+            ),
+            scratch_shapes=[pltpu.VMEM((BT, N, F), jnp.float32)]
+            + [pltpu.VMEM((BT, N, 1), jnp.float32)] * 6,
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(*x_planes, h0, upd_flags, e_rep, e_tile, *leaves)
+        bh, bx0, bx1, bx2, bv0, bv1, bv2, h_fin = fwd_outs[:8]
+        resid_arrays = fwd_outs[8:]
 
-        h_in = bh_ref[0]
-        xp_in = [r[0] for r in (bx0_ref, bx1_ref, bx2_ref)]
-        vp_in = [r[0] for r in (bv0_ref, bv1_ref, bv2_ref)]
-        resid = {
-            name: rr[0].astype(jnp.float32)
-            for (_, name), rr in zip(resid_shapes, rrefs)
-        }
-        upd = upd_ref[depth - 1 - t, 0]
+        # --- readout + seed cotangent (XLA) ------------------------------------
+        def readout_e(h_):
+            out = mm(
+                _silu(mm(h_.reshape(Bc * N, F), params.w_out0) + params.b_out0),
+                params.w_out1,
+            ) + params.b_out1
+            out = out.reshape(Bc, N, -1)
+            if n_real is not None:
+                out = out[:, :n_real]
+            return out.sum(axis=(-2, -1))
 
-        dh2, dxp2, dvp2 = layer_bwd_resid(
-            read_p(lrefs), resid, h_in, xp_in, vp_in, upd, dh, dxp, dvp,
-            e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm, mm_edge=mm_edge,
-            n_real=n_real,
+        e, readout_vjp = jax.vjp(readout_e, h_fin)
+        (dh_fin,) = readout_vjp(jnp.ones_like(e))
+
+        # --- backward kernel: hand-written pullback, reversed depth -------------
+        def bwd_kernel(*refs):
+            (bh_ref, bx0_ref, bx1_ref, bx2_ref, bv0_ref, bv1_ref, bv2_ref,
+             dhf_ref, upd_ref, erep_ref, etile_ref) = refs[:11]
+            lrefs = refs[11 : 11 + len(leaves)]
+            o = 11 + len(leaves)
+            rrefs = refs[o : o + n_resid]
+            dx0_ref, dx1_ref, dx2_ref = refs[o + n_resid : o + n_resid + 3]
+            sdh, sdx0, sdx1, sdx2, sdv0, sdv1, sdv2 = refs[o + n_resid + 3 :]
+            sdx, sdv = (sdx0, sdx1, sdx2), (sdv0, sdv1, sdv2)
+
+            t = pl.program_id(1)
+
+            @pl.when(t == 0)
+            def _():
+                sdh[:] = dhf_ref[:]
+                zero = jnp.zeros((BT, N, 1), jnp.float32)
+                for k in range(3):
+                    sdx[k][:] = zero
+                    sdv[k][:] = zero
+
+            dh = sdh[:]
+            dxp = [sdx[k][:] for k in range(3)]
+            dvp = [sdv[k][:] for k in range(3)]
+
+            h_in = bh_ref[0]
+            xp_in = [r[0] for r in (bx0_ref, bx1_ref, bx2_ref)]
+            vp_in = [r[0] for r in (bv0_ref, bv1_ref, bv2_ref)]
+            resid = {
+                name: rr[0].astype(jnp.float32)
+                for (_, name), rr in zip(resid_shapes, rrefs)
+            }
+            upd = upd_ref[depth - 1 - t, 0]
+
+            dh2, dxp2, dvp2 = layer_bwd_resid(
+                read_p(lrefs), resid, h_in, xp_in, vp_in, upd, dh, dxp, dvp,
+                e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm, mm_edge=mm_edge,
+                n_real=n_real,
+            )
+            sdh[:] = dh2
+            for k in range(3):
+                sdx[k][:] = dxp2[k]
+                sdv[k][:] = dvp2[k]
+            dx0_ref[:] = dxp2[0]
+            dx1_ref[:] = dxp2[1]
+            dx2_ref[:] = dxp2[2]
+
+        dx0, dx1, dx2 = pl.pallas_call(
+            bwd_kernel,
+            grid=grid,
+            out_shape=(plane, plane, plane),
+            in_specs=(
+                [_dbspec((depth, Bc, N, F), BT, rev_depth=depth)]
+                + [_dbspec((depth, Bc, N, 1), BT, rev_depth=depth)] * 6
+                + [_bspec((Bc, N, F), BT)]
+                + [_flag_spec(depth)]
+                + [_full_spec(e_rep), _full_spec(e_tile)]
+                + _leaf_specs(leaves, rev_depth=depth)
+                + [_dbspec(s, BT, rev_depth=depth) for s, _ in resid_shapes]
+            ),
+            out_specs=(_bspec((Bc, N, 1), BT),) * 3,
+            scratch_shapes=[pltpu.VMEM((BT, N, F), jnp.float32)]
+            + [pltpu.VMEM((BT, N, 1), jnp.float32)] * 6,
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(bh, bx0, bx1, bx2, bv0, bv1, bv2, dh_fin, upd_flags, e_rep, e_tile,
+          *leaves, *resid_arrays)
+
+        return e, dx0, dx1, dx2
+
+    if chunk is not None and B > chunk:
+        if chunk % BT or B % chunk:
+            raise ValueError(
+                f"batch {B} not divisible by chunk {chunk} (or chunk by "
+                f"batch_tile {BT})"
+            )
+        nc = B // chunk
+        e, dx0, dx1, dx2 = jax.lax.map(
+            lambda a: _pipeline(a[0], [a[1], a[2], a[3]]),
+            (
+                h0_full.reshape(nc, chunk, N, F),
+                *(p.reshape(nc, chunk, N, 1) for p in x_planes_full),
+            ),
         )
-        sdh[:] = dh2
-        for k in range(3):
-            sdx[k][:] = dxp2[k]
-            sdv[k][:] = dvp2[k]
-        dx0_ref[:] = dxp2[0]
-        dx1_ref[:] = dxp2[1]
-        dx2_ref[:] = dxp2[2]
-
-    dx0, dx1, dx2 = pl.pallas_call(
-        bwd_kernel,
-        grid=grid,
-        out_shape=(plane, plane, plane),
-        in_specs=(
-            [_dbspec((depth, B, N, F), BT, rev_depth=depth)]
-            + [_dbspec((depth, B, N, 1), BT, rev_depth=depth)] * 6
-            + [_bspec((B, N, F), BT)]
-            + [_flag_spec(depth)]
-            + [_full_spec(e_rep), _full_spec(e_tile)]
-            + _leaf_specs(leaves, rev_depth=depth)
-            + [_dbspec(s, BT, rev_depth=depth) for s, _ in resid_shapes]
-        ),
-        out_specs=(_bspec((B, N, 1), BT),) * 3,
-        scratch_shapes=[pltpu.VMEM((BT, N, F), jnp.float32)]
-        + [pltpu.VMEM((BT, N, 1), jnp.float32)] * 6,
-        compiler_params=_compiler_params(),
-        interpret=interpret,
-    )(bh, bx0, bx1, bx2, bv0, bv1, bv2, dh_fin, upd_flags, e_rep, e_tile,
-      *leaves, *resid_arrays)
+        e = e.reshape(B)
+        dx0, dx1, dx2 = (
+            d.reshape(B, N, 1) for d in (dx0, dx1, dx2)
+        )
+    else:
+        e, dx0, dx1, dx2 = _pipeline(h0_full, x_planes_full)
 
     f = -jnp.concatenate([dx0, dx1, dx2], axis=-1)
     if n_real is not None:

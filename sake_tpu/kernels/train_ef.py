@@ -37,11 +37,20 @@ def make_trainable_energy_forces(
     batch_tile: int = 8,
     matmul_dtype=None,
     precision=None,
+    edge_matmul_dtype=None,
+    edge_precision=None,
+    primal: str = "fori",
+    pad_atoms: bool = False,
     interpret: bool = False,
 ):
     """Build ``ef(params, h, x) -> (e, f)`` that runs the Pallas kernels
     forward and is differentiable (to any order reachable through the lax
-    model) w.r.t. ``params``, ``h`` and ``x``."""
+    model) w.r.t. ``params``, ``h`` and ``x``.
+
+    ``primal`` selects the kernel generation for the forward evaluation:
+    ``"fori"`` (fori-over-depth pair, fastest measured), ``"resid"``
+    (residual-streaming + hand-written backward), or ``"depthgrid"``.
+    """
 
     kernel_kw = dict(
         n_heads=n_heads,
@@ -49,6 +58,8 @@ def make_trainable_energy_forces(
         batch_tile=batch_tile,
         matmul_dtype=matmul_dtype,
         precision=precision,
+        edge_matmul_dtype=edge_matmul_dtype,
+        edge_precision=edge_precision,
         interpret=interpret,
     )
 
@@ -56,9 +67,32 @@ def make_trainable_energy_forces(
         out, _, _ = model_forward(params, h, x, n_heads=n_heads, update=update)
         return out.sum(axis=(-2, -1))  # (B,)
 
+    if primal == "fori":
+        from sake_tpu.kernels.fori_ef import fori_energy_forces
+
+        def primal_fn(params, h, x):
+            return fori_energy_forces(
+                params, h, x, pad_atoms=pad_atoms, **kernel_kw
+            )
+
+    elif primal == "resid":
+        from sake_tpu.kernels.resid_ef import resid_energy_forces
+
+        def primal_fn(params, h, x):
+            return resid_energy_forces(
+                params, h, x, pad_atoms=pad_atoms, **kernel_kw
+            )
+
+    elif primal == "depthgrid":
+        def primal_fn(params, h, x):
+            return depthgrid_energy_forces(params, h, x, **kernel_kw)
+
+    else:
+        raise ValueError(f"unknown primal {primal!r}")
+
     @jax.custom_vjp
     def ef(params, h, x):
-        return depthgrid_energy_forces(params, h, x, **kernel_kw)
+        return primal_fn(params, h, x)
 
     def ef_fwd(params, h, x):
         return ef(params, h, x), (params, h, x)

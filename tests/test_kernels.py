@@ -378,3 +378,18 @@ def test_resid_kernel_padded_update_schedule(setup):
     )
     np.testing.assert_allclose(e, e_ref, **TOL)
     np.testing.assert_allclose(f, -g, **TOL)
+
+
+def test_resid_kernel_chunked(setup):
+    """Chunked pipeline (lax.map over batch chunks) must match unchunked."""
+    from sake_tpu.kernels.resid_ef import resid_energy_forces
+
+    model, params, kp, h, x = setup
+    e_ref, f_ref = resid_energy_forces(
+        kp, h, x, batch_tile=2, chunk=None, interpret=True
+    )
+    e, f = resid_energy_forces(
+        kp, h, x, batch_tile=2, chunk=2, interpret=True
+    )
+    np.testing.assert_allclose(e, e_ref, **TOL)
+    np.testing.assert_allclose(f, f_ref, **TOL)
