@@ -141,7 +141,13 @@ def _oom_probe(batch: int) -> str:
         )
         if "PROBE_OK" in out.stdout:
             return "ok"
-        if "RESOURCE_EXHAUSTED" in out.stderr or "OOM" in out.stderr:
+        err = out.stderr + out.stdout
+        # the device tunnel reports HBM OOM as an XLA compile error
+        if (
+            "RESOURCE_EXHAUSTED" in err
+            or "Ran out of memory" in err
+            or "OOM" in err
+        ):
             return "oom"
         return "error"
     except subprocess.TimeoutExpired:

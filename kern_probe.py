@@ -112,6 +112,23 @@ def main():
                 resid_lowp=lowp, **kw
             )
         )
+    elif impl == "resid-fwd":
+        # TIMING-ONLY: evaluate just the energy output, so XLA dead-code
+        # eliminates the backward kernel (and the unused residual outputs'
+        # consumers) — isolates the forward half. F is filled with the
+        # truth so the verification step passes trivially.
+        from sake_tpu.kernels.resid_ef import resid_energy_forces
+
+        f_truth = jnp.asarray(f_t)
+        ef = jax.jit(
+            lambda p, xx: (
+                resid_energy_forces(
+                    p, h, xx, pad_atoms=pad,
+                    chunk=int(kv.get("ch", 512)), **kw
+                )[0],
+                f_truth,
+            )
+        )
     else:
         raise SystemExit(f"unknown impl {impl}")
 
