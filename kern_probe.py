@@ -112,23 +112,28 @@ def main():
                 resid_lowp=lowp, **kw
             )
         )
-    elif impl == "resid-fwd":
+    elif impl in ("resid-fwd", "fori-fwd"):
         # TIMING-ONLY: evaluate just the energy output, so XLA dead-code
-        # eliminates the backward kernel (and the unused residual outputs'
-        # consumers) — isolates the forward half. F is filled with the
-        # truth so the verification step passes trivially.
+        # eliminates the backward kernel — isolates the forward half. F is
+        # filled with the truth so the verification step passes trivially.
+        from sake_tpu.kernels.fori_ef import fori_energy_forces
         from sake_tpu.kernels.resid_ef import resid_energy_forces
 
         f_truth = jnp.asarray(f_t)
-        ef = jax.jit(
-            lambda p, xx: (
-                resid_energy_forces(
-                    p, h, xx, pad_atoms=pad,
-                    chunk=int(kv.get("ch", 512)), **kw
-                )[0],
-                f_truth,
+        if impl == "resid-fwd":
+            rdt = (
+                jnp.float32 if kv.get("rdtype", "f32") == "f32"
+                else jnp.bfloat16
             )
-        )
+            full = lambda p, xx: resid_energy_forces(
+                p, h, xx, pad_atoms=pad, chunk=int(kv.get("ch", 512)),
+                resid_dtype=rdt, **kw
+            )
+        else:
+            full = lambda p, xx: fori_energy_forces(
+                p, h, xx, pad_atoms=pad, **kw
+            )
+        ef = jax.jit(lambda p, xx: (full(p, xx)[0], f_truth))
     else:
         raise SystemExit(f"unknown impl {impl}")
 

@@ -99,10 +99,16 @@ def _node_channels(lay, C):
 
 
 def layer_fwd_resid(p, h, xp, vp, upd, *, e_rep, e_tile, mm, mm_edge=None,
-                    n_real=None):
+                    n_real=None, mask=None):
     """Forward of one layer, returning outputs AND the residual dict the
     hand-written backward consumes. Must stay numerically identical to
-    ``depthgrid_ef.layer_forward_wide`` (tested)."""
+    ``depthgrid_ef.layer_forward_wide`` (tested); with ``mask`` (a
+    ``(BT, N, N, 1)`` edge-mask plane) it matches the MASKED lax layer
+    (``functional.layer_forward_planes``): -INF masked logits, attention
+    renormalized over surviving senders, masked spatial coefficients, and
+    count-based mean divisors — the padded-batch (QM9/ANI/OC20) semantics.
+    Atom padding should be folded into ``mask`` by the caller (pad rows
+    and columns zeroed), not passed as ``n_real``."""
     BT, N, F = h.shape
     R = p["w_in_j"].shape[-1]
     H = p["w_o_j"].shape[-1]
@@ -140,23 +146,37 @@ def layer_fwd_resid(p, h, xp, vp, upd, *, e_rep, e_tile, mm, mm_edge=None,
         sem_pre > 0, sem_pre, 2.0 * (jnp.exp(sem_pre / 2.0) - 1.0)
     )
     logits = logits - INF * jnp.eye(N, dtype=logits.dtype)[None, :, :, None]
-    if n_real is not None and n_real < N:
+    if mask is not None:
+        logits = logits - INF * (1.0 - mask)
+    elif n_real is not None and n_real < N:
         pad_sender = (
             jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) >= n_real
         ).astype(logits.dtype)
         logits = logits - INF * pad_sender[None, None, :, :]
-    att = jax.nn.softmax(logits, axis=-2)
+    att = jax.nn.softmax(logits, axis=-2)  # raw softmax: the saved residual
+    if mask is not None:
+        att_s = att * mask
+        denom = att_s.sum(axis=-2, keepdims=True)
+        att2 = att_s / jnp.where(denom == 0.0, 1.0, denom)
+    else:
+        att2 = att
 
     h_e_att = mm_edge(h_e.reshape(BT * N * N, H), e_rep) * mm_edge(
-        att.reshape(BT * N * N, K), e_tile
+        att2.reshape(BT * N * N, K), e_tile
     )
     HK = h_e_att.shape[-1]
     C = p["w_xmix"].shape[-1]
     coeff = jnp.tanh(mm_edge(h_e_att, p["w_xmix"]).reshape(BT, N, N, C))
+    if mask is not None:
+        coeff = coeff * mask
 
     inv_r = 1.0 / (r + 1e-5)
     pooled = [(coeff * (d0[k] * inv_r)).sum(axis=-2) for k in range(3)]
-    norm = [pk / n_eff for pk in pooled]
+    if mask is not None:
+        count = mask.sum(axis=-2)  # (BT, N, 1)
+        norm = [pk / (count + 1e-8) for pk in pooled]
+    else:
+        norm = [pk / n_eff for pk in pooled]
     pool_sq = norm[0] ** 2 + norm[1] ** 2 + norm[2] ** 2
     ps0 = mm(pool_sq.reshape(BT * N, C), p["w_post0"]) + p["b_post0"]
     ps1 = mm(_silu(ps0), p["w_post1"]) + p["b_post1"]
@@ -172,8 +192,9 @@ def layer_fwd_resid(p, h, xp, vp, upd, *, e_rep, e_tile, mm, mm_edge=None,
     uv = mm(_silu(node_pre), p["w_node1"]) + p["b_node1"]
     h_out = h + _silu(uv).reshape(BT, N, F)
 
+    dv_denom = (count + 1e-10) if mask is not None else n_eff
     delta = [
-        mm(pk.reshape(BT * N, C), p["w_vmix"]).reshape(BT, N, 1) / n_eff
+        mm(pk.reshape(BT * N, C), p["w_vmix"]).reshape(BT, N, 1) / dv_denom
         for pk in pooled
     ]
     g0 = mm(h_out.reshape(BT * N, F), p["w_vel0"]) + p["b_vel0"]
@@ -198,7 +219,7 @@ def layer_fwd_resid(p, h, xp, vp, upd, *, e_rep, e_tile, mm, mm_edge=None,
 
 def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
                     d_vp_out, *, e_rep, e_tile, mm, mm_edge=None,
-                    n_real=None):
+                    n_real=None, mask=None):
     """Hand-written pullback of ``layer_fwd_resid`` w.r.t. its INPUTS
     ``(h, xp, vp)`` — parameters are closed over (input-only cotangents,
     matching what force evaluation needs). Consumes the residual dict; the
@@ -260,9 +281,17 @@ def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
     d_g0 = d_sg0 * _dsilu(g0)
     d_h_out2d = mm(d_g0, p["w_vel0"].T)  # (BT*N, F)
 
-    # --- BB: delta_k = (pooled_k @ Wv)/n ------------------------------------
+    if mask is not None:
+        count = mask.sum(axis=-2)  # (BT, N, 1)
+        dv_denom = count + 1e-10
+        pool_denom = count + 1e-8
+    else:
+        dv_denom = pool_denom = None
+
+    # --- BB: delta_k = (pooled_k @ Wv)/denom --------------------------------
     d_pooled = [
-        mm(dd.reshape(BT * N, 1), p["w_vmix"].T).reshape(BT, N, C) / n_eff
+        mm(dd.reshape(BT * N, 1), p["w_vmix"].T).reshape(BT, N, C)
+        / (dv_denom if mask is not None else n_eff)
         for dd in d_delta
     ]
 
@@ -284,11 +313,12 @@ def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
     d_ps0 = d_sp0 * _dsilu(ps0)
     d_pool_sq = mm(d_ps0, p["w_post0"].T).reshape(BT, N, C)
 
-    # --- V: pool_sq = sum_k (pooled_k/n)^2 ----------------------------------
+    # --- V: pool_sq = sum_k (pooled_k/denom)^2 ------------------------------
+    pd2 = (
+        pool_denom * pool_denom if mask is not None else n_eff * n_eff
+    )
     for k in range(3):
-        d_pooled[k] = d_pooled[k] + 2.0 * pooled[k] * d_pool_sq / (
-            n_eff * n_eff
-        )
+        d_pooled[k] = d_pooled[k] + 2.0 * pooled[k] * d_pool_sq / pd2
 
     # --- U/T: pooled_k = sum_j coeff * u_k ----------------------------------
     u = [dk * inv_r for dk in d0]
@@ -305,8 +335,13 @@ def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
     d_ir = d_u[0] * d0[0] + d_u[1] * d0[1] + d_u[2] * d0[2]
     d_r = -(inv_r * inv_r) * d_ir  # from ir = 1/(r + 1e-5)
 
-    # --- S: coeff = tanh(he_att @ Wx) ---------------------------------------
-    d_xm = (d_coeff * (1.0 - coeff * coeff)).reshape(E, C)
+    # --- S: coeff = tanh(he_att @ Wx) [* mask] ------------------------------
+    # saved coeff is the MASKED value; at mask=0 the factor zeroes d_xm, so
+    # using (1 - coeff^2) there (=1) is harmless.
+    d_xm = d_coeff * (1.0 - coeff * coeff)
+    if mask is not None:
+        d_xm = d_xm * mask
+    d_xm = d_xm.reshape(E, C)
     d_he_att = mm_edge(d_xm, p["w_xmix"].T)  # (E, HK)
 
     # --- Y: hatt = sum_j he_att (broadcast cotangent over senders) ----------
@@ -315,15 +350,33 @@ def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
         BT, N, 1, HK
     )
 
-    # --- R/Q: he_att = (h_e@Erep) * (att@Etile) -----------------------------
+    # --- R/Q: he_att = (h_e@Erep) * (att2@Etile) ----------------------------
+    # saved att is the RAW softmax; recompute the masked renormalization
+    if mask is not None:
+        att_s = att * mask
+        denom = att_s.sum(axis=-2, keepdims=True)
+        dg = jnp.where(denom == 0.0, 1.0, denom)
+        att2 = att_s / dg
+    else:
+        att2 = att
     heE = mm_edge(h_e.reshape(E, H), e_rep).reshape(BT, N, N, HK)
-    attE = mm_edge(att.reshape(E, K), e_tile).reshape(BT, N, N, HK)
+    attE = mm_edge(att2.reshape(E, K), e_tile).reshape(BT, N, N, HK)
     d_h_e = mm_edge((d_he_att * attE).reshape(E, HK), e_rep.T).reshape(
         BT, N, N, H
     )
-    d_att = mm_edge((d_he_att * heE).reshape(E, HK), e_tile.T).reshape(
+    d_att2 = mm_edge((d_he_att * heE).reshape(E, HK), e_tile.T).reshape(
         BT, N, N, K
     )
+
+    # --- renormalization backward (masked): att2 = att*mask / dg ------------
+    if mask is not None:
+        live = (denom != 0.0).astype(att.dtype)  # grad flows iff denom != 0
+        d_att = (
+            d_att2 / dg
+            - live * (d_att2 * att_s).sum(axis=-2, keepdims=True) / (dg * dg)
+        ) * mask
+    else:
+        d_att = d_att2
 
     # --- P: softmax over senders j (axis -2) --------------------------------
     d_logits = att * (d_att - (d_att * att).sum(axis=-2, keepdims=True))
@@ -392,6 +445,7 @@ def resid_energy_forces(
     params: ModelParams,
     h: jax.Array,  # (B, N, F_in)
     x: jax.Array,  # (B, N, 3)
+    mask: jax.Array | None = None,  # (B, N, N) edge mask
     *,
     n_heads: int = 4,
     update: Sequence[bool] | bool = True,
@@ -425,7 +479,16 @@ def resid_energy_forces(
         n_pad = (-N) % 8
         h = jnp.pad(h, ((0, 0), (0, n_pad), (0, 0)))
         x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
+        if mask is not None:
+            # padding rides the mask (zero rows/cols); count-based divisors
+            # and the masked readout then handle pad atoms uniformly
+            mask = jnp.pad(mask, ((0, 0), (0, n_pad), (0, n_pad)))
         N = N + n_pad
+    node_mask = None
+    if mask is not None:
+        # node mask = self-pair diagonal of the edge mask (m (x) m)
+        eyeN = jnp.eye(N, dtype=mask.dtype)
+        node_mask = (mask * eyeN).sum(axis=-1)  # (B, N)
     BT = batch_tile
     if B % BT:
         raise ValueError(f"batch {B} not divisible by batch_tile {BT}")
@@ -455,7 +518,7 @@ def resid_energy_forces(
     def read_p(lrefs):
         return {name: r[0] for name, r in zip(_LEAF_NAMES, lrefs)}
 
-    def _pipeline(h0, x_planes):
+    def _pipeline(h0, x_planes, mask_flat, node_mask_c):
         Bc = h0.shape[0]
         grid = (Bc // BT, depth)
         resid_shapes = [
@@ -464,10 +527,16 @@ def resid_energy_forces(
         n_resid = len(resid_shapes)
 
         # --- forward kernel -----------------------------------------------------
+        has_mask = mask_flat is not None
+
         def fwd_kernel(*refs):
             x0_ref, x1_ref, x2_ref, h_ref, upd_ref, erep_ref, etile_ref = refs[:7]
             lrefs = refs[7 : 7 + len(leaves)]
             o = 7 + len(leaves)
+            m4 = None
+            if has_mask:
+                m4 = refs[o][:].reshape(BT, N, N, 1)
+                o = o + 1
             (bh_ref, bx0_ref, bx1_ref, bx2_ref, bv0_ref, bv1_ref, bv2_ref,
              hfin_ref) = refs[o : o + 8]
             rrefs = refs[o + 8 : o + 8 + n_resid]
@@ -496,7 +565,7 @@ def resid_energy_forces(
             h2, xp2, vp2, resid = layer_fwd_resid(
                 read_p(lrefs), hc, xp, vp, upd_ref[d, 0],
                 e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm, mm_edge=mm_edge,
-                n_real=n_real,
+                n_real=None if has_mask else n_real, mask=m4,
             )
             for (_, name), rr in zip(resid_shapes, rrefs):
                 rr[0] = resid[name].astype(rr.dtype)
@@ -527,6 +596,7 @@ def resid_energy_forces(
                 + [_bspec((Bc, N, F), BT), _flag_spec(depth)]
                 + [_full_spec(e_rep), _full_spec(e_tile)]
                 + _leaf_specs(leaves)
+                + ([_bspec((Bc, N * N, 1), BT)] if has_mask else [])
             ),
             out_specs=tuple(
                 [_dbspec((depth, Bc, N, F), BT)]
@@ -538,7 +608,8 @@ def resid_energy_forces(
             + [pltpu.VMEM((BT, N, 1), jnp.float32)] * 6,
             compiler_params=_compiler_params(),
             interpret=interpret,
-        )(*x_planes, h0, upd_flags, e_rep, e_tile, *leaves)
+        )(*x_planes, h0, upd_flags, e_rep, e_tile, *leaves,
+          *([mask_flat] if has_mask else []))
         bh, bx0, bx1, bx2, bv0, bv1, bv2, h_fin = fwd_outs[:8]
         resid_arrays = fwd_outs[8:]
 
@@ -549,7 +620,9 @@ def resid_energy_forces(
                 params.w_out1,
             ) + params.b_out1
             out = out.reshape(Bc, N, -1)
-            if n_real is not None:
+            if node_mask_c is not None:
+                out = out * node_mask_c[..., None]
+            elif n_real is not None:
                 out = out[:, :n_real]
             return out.sum(axis=(-2, -1))
 
@@ -563,8 +636,13 @@ def resid_energy_forces(
             lrefs = refs[11 : 11 + len(leaves)]
             o = 11 + len(leaves)
             rrefs = refs[o : o + n_resid]
-            dx0_ref, dx1_ref, dx2_ref = refs[o + n_resid : o + n_resid + 3]
-            sdh, sdx0, sdx1, sdx2, sdv0, sdv1, sdv2 = refs[o + n_resid + 3 :]
+            o = o + n_resid
+            m4 = None
+            if has_mask:
+                m4 = refs[o][:].reshape(BT, N, N, 1)
+                o = o + 1
+            dx0_ref, dx1_ref, dx2_ref = refs[o : o + 3]
+            sdh, sdx0, sdx1, sdx2, sdv0, sdv1, sdv2 = refs[o + 3 :]
             sdx, sdv = (sdx0, sdx1, sdx2), (sdv0, sdv1, sdv2)
 
             t = pl.program_id(1)
@@ -593,7 +671,7 @@ def resid_energy_forces(
             dh2, dxp2, dvp2 = layer_bwd_resid(
                 read_p(lrefs), resid, h_in, xp_in, vp_in, upd, dh, dxp, dvp,
                 e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm, mm_edge=mm_edge,
-                n_real=n_real,
+                n_real=None if has_mask else n_real, mask=m4,
             )
             sdh[:] = dh2
             for k in range(3):
@@ -615,6 +693,7 @@ def resid_energy_forces(
                 + [_full_spec(e_rep), _full_spec(e_tile)]
                 + _leaf_specs(leaves, rev_depth=depth)
                 + [_dbspec(s, BT, rev_depth=depth) for s, _ in resid_shapes]
+                + ([_bspec((Bc, N * N, 1), BT)] if has_mask else [])
             ),
             out_specs=(_bspec((Bc, N, 1), BT),) * 3,
             scratch_shapes=[pltpu.VMEM((BT, N, F), jnp.float32)]
@@ -622,10 +701,13 @@ def resid_energy_forces(
             compiler_params=_compiler_params(),
             interpret=interpret,
         )(bh, bx0, bx1, bx2, bv0, bv1, bv2, dh_fin, upd_flags, e_rep, e_tile,
-          *leaves, *resid_arrays)
+          *leaves, *resid_arrays, *([mask_flat] if has_mask else []))
 
         return e, dx0, dx1, dx2
 
+    mask_flat_full = (
+        mask.reshape(B, N * N, 1) if mask is not None else None
+    )
     if chunk is not None and B > chunk:
         if chunk % BT or B % chunk:
             raise ValueError(
@@ -633,19 +715,24 @@ def resid_energy_forces(
                 f"batch_tile {BT})"
             )
         nc = B // chunk
-        e, dx0, dx1, dx2 = jax.lax.map(
-            lambda a: _pipeline(a[0], [a[1], a[2], a[3]]),
-            (
-                h0_full.reshape(nc, chunk, N, F),
-                *(p.reshape(nc, chunk, N, 1) for p in x_planes_full),
-            ),
-        )
+        xs = [
+            h0_full.reshape(nc, chunk, N, F),
+        ] + [p.reshape(nc, chunk, N, 1) for p in x_planes_full]
+        if mask is not None:
+            xs.append(mask_flat_full.reshape(nc, chunk, N * N, 1))
+            xs.append(node_mask.reshape(nc, chunk, N))
+            fn = lambda a: _pipeline(a[0], [a[1], a[2], a[3]], a[4], a[5])
+        else:
+            fn = lambda a: _pipeline(a[0], [a[1], a[2], a[3]], None, None)
+        e, dx0, dx1, dx2 = jax.lax.map(fn, tuple(xs))
         e = e.reshape(B)
         dx0, dx1, dx2 = (
             d.reshape(B, N, 1) for d in (dx0, dx1, dx2)
         )
     else:
-        e, dx0, dx1, dx2 = _pipeline(h0_full, x_planes_full)
+        e, dx0, dx1, dx2 = _pipeline(
+            h0_full, x_planes_full, mask_flat_full, node_mask
+        )
 
     f = -jnp.concatenate([dx0, dx1, dx2], axis=-1)
     if n_real is not None:

@@ -393,3 +393,82 @@ def test_resid_kernel_chunked(setup):
     )
     np.testing.assert_allclose(e, e_ref, **TOL)
     np.testing.assert_allclose(f, f_ref, **TOL)
+
+
+def _edge_mask(rng, B, N, min_n=3):
+    sizes = rng.randint(min_n, N + 1, size=B)
+    m = (np.arange(N)[None, :] < sizes[:, None]).astype(np.float32)
+    return jnp.asarray(m[:, :, None] * m[:, None, :]), jnp.asarray(m)
+
+
+def test_resid_masked_backward_matches_vjp(setup):
+    """Masked hand-written backward vs jax.vjp of the masked forward."""
+    from sake_tpu.kernels.depthgrid_ef import wide_stack, _LEAF_NAMES
+    from sake_tpu.kernels.resid_ef import layer_fwd_resid, layer_bwd_resid
+    from sake_tpu.kernels.split_ef import head_expansion_matrices
+
+    _, _, kp, h_raw, x = setup
+    rng = np.random.RandomState(7)
+    B, N, _ = h_raw.shape
+    leaves = wide_stack(kp, n_heads=4)
+    p = {name: leaf[0] for name, leaf in zip(_LEAF_NAMES, leaves)}
+    e_rep, e_tile = head_expansion_matrices(16, 4)
+    mm = lambda a, w: jnp.dot(a, w, preferred_element_type=jnp.float32)
+    h = (h_raw @ kp.w_embed + kp.b_embed).astype(jnp.float32)
+    mask, _ = _edge_mask(rng, B, N)
+    mask4 = mask[..., None]
+
+    xp = [x[..., k : k + 1] for k in range(3)]
+    vp = [jnp.asarray(rng.randn(B, N, 1), jnp.float32) for _ in range(3)]
+
+    def f(h_, xp_, vp_):
+        h2, xp2, vp2, _ = layer_fwd_resid(
+            p, h_, xp_, vp_, 1.0, e_rep=e_rep, e_tile=e_tile, mm=mm,
+            mask=mask4,
+        )
+        return h2, list(xp2), list(vp2)
+
+    out, vjp = jax.vjp(f, h, list(xp), list(vp))
+    _, _, _, resid = layer_fwd_resid(
+        p, h, xp, vp, 1.0, e_rep=e_rep, e_tile=e_tile, mm=mm, mask=mask4
+    )
+    dh = jnp.asarray(rng.randn(*h.shape), jnp.float32)
+    dxp = [jnp.asarray(rng.randn(B, N, 1), jnp.float32) for _ in range(3)]
+    dvp = [jnp.asarray(rng.randn(B, N, 1), jnp.float32) for _ in range(3)]
+    want_dh, want_dxp, want_dvp = vjp((dh, dxp, dvp))
+    got_dh, got_dxp, got_dvp = layer_bwd_resid(
+        p, resid, h, xp, vp, 1.0, dh, dxp, dvp,
+        e_rep=e_rep, e_tile=e_tile, mm=mm, mask=mask4,
+    )
+    np.testing.assert_allclose(got_dh, want_dh, rtol=1e-3, atol=1e-4)
+    for k in range(3):
+        np.testing.assert_allclose(got_dxp[k], want_dxp[k], rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(got_dvp[k], want_dvp[k], rtol=1e-3, atol=1e-4)
+
+
+def test_resid_kernel_masked_interpret(setup):
+    """Masked residual kernel pair vs the masked linen oracle, including a
+    fully-padded graph (mask all zero)."""
+    from sake_tpu.kernels.resid_ef import resid_energy_forces
+
+    model, params, kp, h, x = setup
+    rng = np.random.RandomState(11)
+    B, N, _ = h.shape
+    mask, node_m = _edge_mask(rng, B, N)
+    # one fully-padded graph
+    mask = mask.at[0].set(0.0)
+    node_m = node_m.at[0].set(0.0)
+
+    def energy(x_):
+        out, _, _ = model.apply(params, h, x_, mask=mask)
+        e = (out * node_m[..., None]).sum(axis=(-2, -1))
+        return e.sum(), e
+
+    (_, e_ref), g = jax.value_and_grad(energy, has_aux=True)(x)
+    e, f = resid_energy_forces(
+        kp, h, x, mask=mask, batch_tile=2, pad_atoms=True, interpret=True
+    )
+    assert np.isfinite(np.asarray(e)).all()
+    assert np.isfinite(np.asarray(f)).all()
+    np.testing.assert_allclose(e, e_ref, **TOL)
+    np.testing.assert_allclose(f, -g, **TOL)
