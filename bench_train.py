@@ -114,6 +114,75 @@ def bench_reference(i, x, m, y, batch: int, repeats: int = 3) -> float:
     return total / float(np.median(times))
 
 
+def bench_kernel(i, x, m, y, batch: int, repeats: int = 3) -> float:
+    """The Pallas train-kernel path: custom-VJP hidden-state function
+    (residual streaming + hand-written backward with in-kernel parameter
+    gradients), masked, scanned epoch on device."""
+    import optax
+
+    from sake_tpu.kernels import model_params_from_linen
+    from sake_tpu.kernels.resid_ef import make_hidden_fn
+    from sake_tpu.models import SAKEModel
+
+    model = SAKEModel(hidden_features=64, out_features=1, depth=6)
+    params = jax.jit(model.init)(jax.random.PRNGKey(2666), i[0], x[0])
+    kp = model_params_from_linen(params)
+    hidden = make_hidden_fn(
+        # N=29->32 edge blocks are 1.8x aspirin's; bt=8 VMEM-OOMs the
+        # train-bwd kernel (resident grads + leaves + windows), bt=4 fits
+        batch_tile=4,
+        precision=None,
+        edge_matmul_dtype=jnp.bfloat16,
+        resid_dtype=jnp.bfloat16,
+        pad_atoms=True,
+    )
+
+    n_dev = jax.local_device_count()
+    n_batches = i.shape[0] // (batch * n_dev)
+    total = n_batches * batch * n_dev
+
+    def stack(a):
+        return a[:total].reshape(n_batches, batch * n_dev, *a.shape[1:])
+
+    batches = {"i": stack(i), "x": stack(x), "m": stack(m), "y": stack(y)}
+
+    def loss_fn(kp_, b):
+        h_fin = hidden(kp_, b["i"], b["x"], b["m"])
+        B, N, F = h_fin.shape
+        z = jax.nn.silu(h_fin.reshape(B * N, F) @ kp_.w_out0 + kp_.b_out0)
+        out = (z @ kp_.w_out1 + kp_.b_out1).reshape(B, N, -1)
+        graph_live = jnp.sign(b["m"].sum(-1, keepdims=True))
+        y_hat = (out * graph_live).sum(-2)
+        return jnp.abs(b["y"] - y_hat).mean()
+
+    tx = optax.adam(5e-4)
+    opt_state = tx.init(kp)
+
+    def step(carry, b):
+        kp_, o_ = carry
+        g = jax.grad(loss_fn)(kp_, b)
+        u, o_ = tx.update(g, o_)
+        return (optax.apply_updates(kp_, u), o_), None
+
+    @jax.jit
+    def epoch(kp_, o_):
+        (kp_, o_), _ = jax.lax.scan(step, (kp_, o_), batches)
+        return kp_, o_
+
+    def force(kp_):
+        return float(np.asarray(jax.tree.leaves(kp_)[0]).ravel()[0])
+
+    kp, opt_state = epoch(kp, opt_state)  # warmup/compile
+    force(kp)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        kp, opt_state = epoch(kp, opt_state)
+        force(kp)
+        times.append(time.perf_counter() - t0)
+    return total / float(np.median(times))
+
+
 def bench_sake_tpu(i, x, m, y, batch: int, repeats: int = 3) -> float:
     """This framework's path: scanned shard_map epoch (one dispatch)."""
     import optax
@@ -165,7 +234,16 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     i, x, m, y = make_data(n_batches, batch * jax.local_device_count())
-    ours = bench_sake_tpu(i, x, m, y, batch)
+    lax_rate = bench_sake_tpu(i, x, m, y, batch)
+    import os
+
+    kern_rate = None
+    if os.environ.get("SAKE_BENCH_TRAIN_KERNEL", "1") != "0":
+        try:
+            kern_rate = bench_kernel(i, x, m, y, batch)
+        except Exception as exc:  # kernel path is optional; report lax
+            print(f"# kernel train path failed: {exc!r}", file=sys.stderr)
+    ours = max(lax_rate, kern_rate or 0.0)
     ref = bench_reference(i, x, m, y, batch)
     print(
         json.dumps(
@@ -173,6 +251,8 @@ def main():
                 "metric": "qm9_train_samples_per_sec_per_chip",
                 "value": round(ours, 1),
                 "unit": "samples/s/chip",
+                "lax_value": round(lax_rate, 1),
+                "kernel_value": round(kern_rate, 1) if kern_rate else None,
                 "reference_value": round(ref, 1),
                 "vs_baseline": round(ours / ref, 3),
                 "target_ratio": 10.0,

@@ -12,6 +12,9 @@ from sake_tpu.kernels.adapter import (
     layer_params_from_linen,
 )
 from sake_tpu.kernels.fused_ef import fused_energy_forces
+from sake_tpu.kernels.fori_ef import fori_energy_forces
+from sake_tpu.kernels.resid_ef import make_hidden_fn, resid_energy_forces
+from sake_tpu.kernels.train_ef import make_trainable_energy_forces
 
 __all__ = [
     "ModelParams",
@@ -22,4 +25,8 @@ __all__ = [
     "model_params_from_linen",
     "layer_params_from_linen",
     "fused_energy_forces",
+    "fori_energy_forces",
+    "resid_energy_forces",
+    "make_hidden_fn",
+    "make_trainable_energy_forces",
 ]

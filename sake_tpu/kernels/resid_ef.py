@@ -217,9 +217,27 @@ def layer_fwd_resid(p, h, xp, vp, upd, *, e_rep, e_tile, mm, mm_edge=None,
     return h_out, xp_out, vp_out, resid
 
 
+def _make_mmt_prec(matmul_dtype, precision):
+    """Row-contraction matmul ``a^T @ g`` via ``dot_general`` contracting
+    dim 0 of both operands — the weight-gradient shape. No transpose is
+    materialized (Mosaic lowers it directly; verified exact on-chip)."""
+
+    def mmt(a, g):
+        if matmul_dtype is not None:
+            a = a.astype(matmul_dtype)
+            g = g.astype(matmul_dtype)
+        return jax.lax.dot_general(
+            a, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    return mmt
+
+
 def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
                     d_vp_out, *, e_rep, e_tile, mm, mm_edge=None,
-                    n_real=None, mask=None):
+                    n_real=None, mask=None, mm_t=None, mm_edge_t=None,
+                    want_param_grads=False):
     """Hand-written pullback of ``layer_fwd_resid`` w.r.t. its INPUTS
     ``(h, xp, vp)`` — parameters are closed over (input-only cotangents,
     matching what force evaluation needs). Consumes the residual dict; the
@@ -227,8 +245,16 @@ def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
     matmuls, needed for the rbf*pre product rule) and elementwise
     derivative evaluations (sigmoids/exp) from saved pre-activations.
 
-    Returns ``(d_h, d_xp, d_vp)``.
+    Returns ``(d_h, d_xp, d_vp)`` — or, with ``want_param_grads=True``,
+    ``(d_h, d_xp, d_vp, dW)`` where ``dW`` maps every ``_LEAF_NAMES``
+    entry to this tile's parameter-gradient contribution (``a^T @ g``
+    row-contractions via ``mm_t``/``mm_edge_t``; bias gradients as
+    ``(1, dim)`` row sums). Accumulate across tiles/layers outside.
     """
+    if mm_t is None:
+        mm_t = _make_mmt_prec(None, None)
+    if mm_edge_t is None:
+        mm_edge_t = mm_t
     BT = xp[0].shape[0]
     N = xp[0].shape[1]
     F = p["w_in_j"].shape[0]
@@ -438,7 +464,74 @@ def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
         )
 
     d_h = d_h2d.reshape(BT, N, F)
-    return d_h, d_xp, d_vp
+    if not want_param_grads:
+        return d_h, d_xp, d_vp
+
+    # --- parameter gradients (a^T @ g row-contractions + bias row-sums) ----
+    # Shapes mirror the _split_layer leaves exactly. All intermediates are
+    # already in scope from the cotangent flow above.
+    rsum = lambda a: a.sum(axis=0, keepdims=True)  # (rows, d) -> (1, d)
+    h2d = h2d_in
+    e2 = lambda a: a.reshape(E, a.shape[-1])
+    d_e02 = e2(d_e0)
+    d_he2 = e2(d_h_e)
+    he_att4 = heE * attE
+    he_att2 = he_att4.reshape(E, HK)
+    filtered2 = e2(rbf * pre)
+    se2 = _silu(e0.reshape(E, H))
+    hatt2 = he_att4.sum(axis=-2).reshape(BT * N, HK)
+    pq_denom = pool_denom if mask is not None else n_eff
+    pool_sq2 = (
+        (pooled[0] / pq_denom) ** 2
+        + (pooled[1] / pq_denom) ** 2
+        + (pooled[2] / pq_denom) ** 2
+    ).reshape(BT * N, C)
+    h_out2 = h2d + _silu(uv)
+    dd_denom = dv_denom if mask is not None else n_eff
+    d_delta2 = [
+        (dd / dd_denom).reshape(BT * N, 1) for dd in d_delta
+    ]
+    tm = t - p["rbf_m"]  # (BT, N, N, R)
+    d_rbf2 = e2(d_rbf)
+    rbf2 = e2(rbf)
+    tm2 = e2(tm)
+
+    dW = dict(
+        w_in_j=mm_t(h2d, d_a_j.reshape(BT * N, R)),
+        w_in_i=mm_t(h2d, d_a_i.reshape(BT * N, R)),
+        b_in=rsum(d_a_j.reshape(BT * N, R)),
+        rbf_m=rsum(d_rbf2 * rbf2 * (2.0 * p["rbf_b"] * tm2)),
+        rbf_b=rsum(d_rbf2 * rbf2 * (-(tm2 * tm2))),
+        w_o_j=mm_t(h2d, d_o_j.reshape(BT * N, H)),
+        w_o_i=mm_t(h2d, d_o_i.reshape(BT * N, H)),
+        w_o_f=mm_edge_t(filtered2, d_e02),
+        w_o_r=rsum(e2(d_e0 * r)),
+        b_o0=rsum(d_e02),
+        w_o1=mm_edge_t(se2, d_he2),
+        b_o1=rsum(d_he2),
+        w_sem=mm_edge_t(e2(h_e), e2(d_sem_pre)),
+        b_sem=rsum(e2(d_sem_pre)),
+        w_xmix=mm_edge_t(he_att2, d_xm),
+        w_post0=mm_t(pool_sq2, d_ps0),
+        b_post0=rsum(d_ps0),
+        w_post1=mm_t(_silu(ps0), d_ps1),
+        b_post1=rsum(d_ps1),
+        w_node_h=mm_t(h2d, d_node_pre),
+        w_node_agg=mm_t(hatt2, d_node_pre),
+        w_node_comb=mm_t(_silu(ps1), d_node_pre),
+        b_node0=rsum(d_node_pre),
+        w_node1=mm_t(_silu(node_pre), d_uv),
+        b_node1=rsum(d_uv),
+        w_vmix=(
+            mm_t(pooled[0].reshape(BT * N, C), d_delta2[0])
+            + mm_t(pooled[1].reshape(BT * N, C), d_delta2[1])
+            + mm_t(pooled[2].reshape(BT * N, C), d_delta2[2])
+        ),
+        w_vel0=mm_t(h_out2, d_g0),
+        b_vel0=rsum(d_g0),
+        w_vel1=mm_t(_silu(g0), d_g1),
+    )
+    return d_h, d_xp, d_vp, dW
 
 
 def resid_energy_forces(
@@ -738,3 +831,395 @@ def resid_energy_forces(
     if n_real is not None:
         f = f[:, :n_real]
     return e, f
+
+
+# ---------------------------------------------------------------------------
+# Training path: custom-VJP hidden-state function with in-kernel parameter
+# gradients. ``make_hidden_fn`` returns ``hidden(params, h, x, mask) ->
+# h_fin`` whose backward runs the train kernel: the hand-written pullback
+# PLUS per-layer weight-gradient row-contractions accumulated in resident
+# VMEM output blocks across all (batch-tile, depth) grid steps. First-order
+# only (enough for energy/property losses: QM9/ANI/OC20 training); force-
+# loss (second-order) training stays on ``train_ef``.
+# ---------------------------------------------------------------------------
+
+
+def unsplit_layer_grads(g: dict) -> "LayerParams":
+    """Inverse of ``_split_layer`` for GRADIENT leaves: reassemble one
+    ``LayerParams`` pytree from per-name arrays (depth axis removed)."""
+    from sake_tpu.kernels.functional import CFConvParams, LayerParams
+
+    edge = CFConvParams(
+        w_in=jnp.concatenate([g["w_in_j"], g["w_in_i"]], axis=0),
+        b_in=g["b_in"][0],
+        rbf_means=g["rbf_m"][0],
+        rbf_betas=g["rbf_b"][0],
+        w_out0=jnp.concatenate(
+            [g["w_o_j"], g["w_o_i"], g["w_o_f"], g["w_o_r"]], axis=0
+        ),
+        b_out0=g["b_o0"][0],
+        w_out1=g["w_o1"],
+        b_out1=g["b_o1"][0],
+    )
+    return LayerParams(
+        edge=edge,
+        w_sem=g["w_sem"], b_sem=g["b_sem"][0], w_xmix=g["w_xmix"],
+        w_post0=g["w_post0"], b_post0=g["b_post0"][0],
+        w_post1=g["w_post1"], b_post1=g["b_post1"][0],
+        w_node0=jnp.concatenate(
+            [g["w_node_h"], g["w_node_agg"], g["w_node_comb"]], axis=0
+        ),
+        b_node0=g["b_node0"][0],
+        w_node1=g["w_node1"], b_node1=g["b_node1"][0],
+        w_vmix=g["w_vmix"], w_vel0=g["w_vel0"], b_vel0=g["b_vel0"][0],
+        w_vel1=g["w_vel1"],
+    )
+
+
+def make_hidden_fn(
+    *,
+    n_heads: int = 4,
+    update: Sequence[bool] | bool = True,
+    batch_tile: int = 8,
+    matmul_dtype=None,
+    precision=None,
+    edge_matmul_dtype=None,
+    edge_precision=None,
+    resid_dtype=jnp.float32,
+    resid_lowp=None,
+    pad_atoms: bool = False,
+    interpret: bool = False,
+):
+    """Build ``hidden(params: ModelParams, h, x, mask) -> h_fin`` with a
+    custom first-order VJP on the Pallas train kernels.
+
+    ``h_fin (B, N, F)`` is the final node representation (positions and
+    velocities are folded through the layer stack but not returned —
+    energy/property heads consume ``h_fin``). Gradients flow to every
+    layer parameter, the embedding, ``h`` and ``x``; readout leaves of
+    ``ModelParams`` receive zeros here (they get their cotangents from
+    the XLA-side head that uses them). ``mask`` may be None (fixed-size
+    batches); its cotangent is zeros. Batch = one chunk: wrap in
+    ``lax.map`` + gradient accumulation for big batches (residuals for
+    the chunk live in HBM between fwd and bwd).
+    """
+    BT = batch_tile
+    mm = _make_mm_prec(matmul_dtype, precision)
+    mm_edge = None
+    if edge_matmul_dtype is not None or edge_precision is not None:
+        mm_edge = _make_mm_prec(edge_matmul_dtype, edge_precision)
+    mm_t = _make_mmt_prec(matmul_dtype, precision)
+    mm_edge_t = _make_mmt_prec(
+        edge_matmul_dtype if edge_matmul_dtype is not None else matmul_dtype,
+        edge_precision if edge_precision is not None else precision,
+    )
+
+    def _prep(params, h, x, mask):
+        B, N0, F_in = h.shape
+        n_real = None
+        if pad_atoms and N0 % 8:
+            n_real = N0
+            n_pad = (-N0) % 8
+            h = jnp.pad(h, ((0, 0), (0, n_pad), (0, 0)))
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
+            if mask is not None:
+                mask = jnp.pad(mask, ((0, 0), (0, n_pad), (0, n_pad)))
+        N = h.shape[1]
+        if B % BT:
+            raise ValueError(f"batch {B} not divisible by batch_tile {BT}")
+        depth = len(params.layers)
+        updates = (
+            [update] * depth if isinstance(update, bool) else list(update)
+        )
+        upd_flags = jnp.asarray(updates, jnp.float32).reshape(depth, 1)
+        F = params.w_embed.shape[-1]
+        lay0 = params.layers[0]
+        R = lay0.edge.w_in.shape[-1]
+        H = lay0.edge.w_out0.shape[-1]
+        C = lay0.w_xmix.shape[-1]
+        e_rep, e_tile = head_expansion_matrices(H, n_heads)
+        leaves = wide_stack(params, n_heads)
+        ech = _edge_channels(R, H, n_heads, C)
+        nch = _node_channels(lay0, C)
+        resid_shapes = [
+            ((depth, B, N * N, ech[nm]), nm) for nm in _EDGE_RESIDS
+        ] + [((depth, B, N, nch[nm]), nm) for nm in _NODE_RESIDS]
+        h0 = (
+            mm(h.reshape(B * N, F_in), params.w_embed) + params.b_embed
+        ).reshape(B, N, F)
+        x_planes = [x[..., k : k + 1] for k in range(3)]
+        mask_flat = (
+            mask.reshape(B, N * N, 1) if mask is not None else None
+        )
+        return dict(
+            B=B, N=N, F=F, F_in=F_in, depth=depth, n_real=n_real,
+            upd_flags=upd_flags, e_rep=e_rep, e_tile=e_tile, leaves=leaves,
+            resid_shapes=resid_shapes, h0=h0, x_planes=x_planes,
+            mask_flat=mask_flat, h_padded=h, grid=(B // BT, depth),
+        )
+
+    def _read_p(lrefs):
+        return {name: r[0] for name, r in zip(_LEAF_NAMES, lrefs)}
+
+    def _fwd(params, h, x, mask):
+        c = _prep(params, h, x, mask)
+        B, N, F, depth = c["B"], c["N"], c["F"], c["depth"]
+        leaves, resid_shapes = c["leaves"], c["resid_shapes"]
+        n_resid = len(resid_shapes)
+        has_mask = c["mask_flat"] is not None
+        layer_n_real = None if has_mask else c["n_real"]
+
+        def fwd_kernel(*refs):
+            x0r, x1r, x2r, hr, updr, err, etr = refs[:7]
+            lrefs = refs[7 : 7 + len(leaves)]
+            o = 7 + len(leaves)
+            m4 = None
+            if has_mask:
+                m4 = refs[o][:].reshape(BT, N, N, 1)
+                o += 1
+            (bh, bx0, bx1, bx2, bv0, bv1, bv2, hfin) = refs[o : o + 8]
+            rrefs = refs[o + 8 : o + 8 + n_resid]
+            sh, sx0, sx1, sx2, sv0, sv1, sv2 = refs[o + 8 + n_resid :]
+            sx, sv = (sx0, sx1, sx2), (sv0, sv1, sv2)
+            d = pl.program_id(1)
+
+            @pl.when(d == 0)
+            def _():
+                sh[:] = hr[:]
+                for k, xr in enumerate((x0r, x1r, x2r)):
+                    sx[k][:] = xr[:]
+                    sv[k][:] = jnp.zeros_like(xr[:])
+
+            hc = sh[:]
+            xp = [sx[k][:] for k in range(3)]
+            vp = [sv[k][:] for k in range(3)]
+            bh[0] = hc
+            for k, (bxr, bvr) in enumerate(
+                zip((bx0, bx1, bx2), (bv0, bv1, bv2))
+            ):
+                bxr[0] = xp[k]
+                bvr[0] = vp[k]
+            h2, xp2, vp2, resid = layer_fwd_resid(
+                _read_p(lrefs), hc, xp, vp, updr[d, 0],
+                e_rep=err[:], e_tile=etr[:], mm=mm, mm_edge=mm_edge,
+                n_real=layer_n_real, mask=m4,
+            )
+            for (_, nm), rr in zip(resid_shapes, rrefs):
+                rr[0] = resid[nm].astype(rr.dtype)
+            sh[:] = h2
+            for k in range(3):
+                sx[k][:] = xp2[k]
+                sv[k][:] = vp2[k]
+            hfin[:] = h2
+
+        bplane = jax.ShapeDtypeStruct((depth, B, N, 1), jnp.float32)
+        outs = pl.pallas_call(
+            fwd_kernel,
+            grid=c["grid"],
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((depth, B, N, F), jnp.float32)]
+                + [bplane] * 6
+                + [jax.ShapeDtypeStruct((B, N, F), jnp.float32)]
+                + [
+                    jax.ShapeDtypeStruct(
+                        sh_, _resid_dtype_for(nm, resid_dtype, resid_lowp)
+                    )
+                    for sh_, nm in resid_shapes
+                ]
+            ),
+            in_specs=(
+                [_bspec((B, N, 1), BT)] * 3
+                + [_bspec((B, N, F), BT), _flag_spec(depth)]
+                + [_full_spec(c["e_rep"]), _full_spec(c["e_tile"])]
+                + _leaf_specs(leaves)
+                + ([_bspec((B, N * N, 1), BT)] if has_mask else [])
+            ),
+            out_specs=tuple(
+                [_dbspec((depth, B, N, F), BT)]
+                + [_dbspec((depth, B, N, 1), BT)] * 6
+                + [_bspec((B, N, F), BT)]
+                + [_dbspec(sh_, BT) for sh_, _ in resid_shapes]
+            ),
+            scratch_shapes=[pltpu.VMEM((BT, N, F), jnp.float32)]
+            + [pltpu.VMEM((BT, N, 1), jnp.float32)] * 6,
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(*c["x_planes"], c["h0"], c["upd_flags"], c["e_rep"], c["e_tile"],
+          *leaves, *([c["mask_flat"]] if has_mask else []))
+        boundary = outs[:7]
+        h_fin = outs[7]
+        resid_arrays = outs[8:]
+        return c, boundary, h_fin, resid_arrays
+
+    def _train_bwd(params, c, boundary, resid_arrays, dh_fin):
+        B, N, F, depth = c["B"], c["N"], c["F"], c["depth"]
+        leaves, resid_shapes = c["leaves"], c["resid_shapes"]
+        n_resid = len(resid_shapes)
+        has_mask = c["mask_flat"] is not None
+        layer_n_real = None if has_mask else c["n_real"]
+        bh, bx0, bx1, bx2, bv0, bv1, bv2 = boundary
+
+        def bwd_kernel(*refs):
+            (bhr, bx0r, bx1r, bx2r, bv0r, bv1r, bv2r, dhfr, updr,
+             err, etr) = refs[:11]
+            lrefs = refs[11 : 11 + len(leaves)]
+            o = 11 + len(leaves)
+            rrefs = refs[o : o + n_resid]
+            o += n_resid
+            m4 = None
+            if has_mask:
+                m4 = refs[o][:].reshape(BT, N, N, 1)
+                o += 1
+            dh0_ref, dx0_ref, dx1_ref, dx2_ref = refs[o : o + 4]
+            grefs = refs[o + 4 : o + 4 + len(leaves)]
+            sdh, sdx0, sdx1, sdx2, sdv0, sdv1, sdv2 = refs[
+                o + 4 + len(leaves) :
+            ]
+            sdx, sdv = (sdx0, sdx1, sdx2), (sdv0, sdv1, sdv2)
+
+            b = pl.program_id(0)
+            t = pl.program_id(1)
+
+            @pl.when(jnp.logical_and(b == 0, t == 0))
+            def _():
+                for gr in grefs:
+                    gr[:] = jnp.zeros_like(gr)
+
+            @pl.when(t == 0)
+            def _():
+                sdh[:] = dhfr[:]
+                zero = jnp.zeros((BT, N, 1), jnp.float32)
+                for k in range(3):
+                    sdx[k][:] = zero
+                    sdv[k][:] = zero
+
+            dh = sdh[:]
+            dxp = [sdx[k][:] for k in range(3)]
+            dvp = [sdv[k][:] for k in range(3)]
+            h_in = bhr[0]
+            xp_in = [r[0] for r in (bx0r, bx1r, bx2r)]
+            vp_in = [r[0] for r in (bv0r, bv1r, bv2r)]
+            resid = {
+                nm: rr[0].astype(jnp.float32)
+                for (_, nm), rr in zip(resid_shapes, rrefs)
+            }
+            i = depth - 1 - t
+            upd = updr[i, 0]
+            dh2, dxp2, dvp2, dW = layer_bwd_resid(
+                _read_p(lrefs), resid, h_in, xp_in, vp_in, upd,
+                dh, dxp, dvp,
+                e_rep=err[:], e_tile=etr[:], mm=mm, mm_edge=mm_edge,
+                n_real=layer_n_real, mask=m4,
+                mm_t=mm_t, mm_edge_t=mm_edge_t, want_param_grads=True,
+            )
+            for nm, gr in zip(_LEAF_NAMES, grefs):
+                gr[i] += dW[nm]
+            sdh[:] = dh2
+            for k in range(3):
+                sdx[k][:] = dxp2[k]
+                sdv[k][:] = dvp2[k]
+            dh0_ref[:] = dh2
+            dx0_ref[:] = dxp2[0]
+            dx1_ref[:] = dxp2[1]
+            dx2_ref[:] = dxp2[2]
+
+        plane = jax.ShapeDtypeStruct((B, N, 1), jnp.float32)
+        gspec = [
+            pl.BlockSpec(a.shape, (lambda bb, dd, nd=a.ndim: (0,) * nd),
+                         memory_space=pltpu.VMEM)
+            for a in leaves
+        ]
+        outs = pl.pallas_call(
+            bwd_kernel,
+            grid=c["grid"],
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((B, N, F), jnp.float32)]
+                + [plane] * 3
+                + [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in leaves]
+            ),
+            in_specs=(
+                [_dbspec((depth, B, N, F), BT, rev_depth=depth)]
+                + [_dbspec((depth, B, N, 1), BT, rev_depth=depth)] * 6
+                + [_bspec((B, N, F), BT)]
+                + [_flag_spec(depth)]
+                + [_full_spec(c["e_rep"]), _full_spec(c["e_tile"])]
+                + _leaf_specs(leaves, rev_depth=depth)
+                + [_dbspec(sh_, BT, rev_depth=depth) for sh_, _ in resid_shapes]
+                + ([_bspec((B, N * N, 1), BT)] if has_mask else [])
+            ),
+            out_specs=tuple(
+                [_bspec((B, N, F), BT)]
+                + [_bspec((B, N, 1), BT)] * 3
+                + gspec
+            ),
+            scratch_shapes=[pltpu.VMEM((BT, N, F), jnp.float32)]
+            + [pltpu.VMEM((BT, N, 1), jnp.float32)] * 6,
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(bh, bx0, bx1, bx2, bv0, bv1, bv2, dh_fin, c["upd_flags"],
+          c["e_rep"], c["e_tile"], *leaves, *resid_arrays,
+          *([c["mask_flat"]] if has_mask else []))
+        dh0 = outs[0]
+        dxp = outs[1:4]
+        leaf_grads = dict(zip(_LEAF_NAMES, outs[4:]))
+        return dh0, dxp, leaf_grads
+
+    @jax.custom_vjp
+    def hidden(params, h, x, mask):
+        _, _, h_fin, _ = _fwd(params, h, x, mask)
+        n_real = h.shape[1] if pad_atoms and h.shape[1] % 8 else None
+        return h_fin[:, :n_real] if n_real is not None else h_fin
+
+    def hidden_fwd(params, h, x, mask):
+        c, boundary, h_fin, resid_arrays = _fwd(params, h, x, mask)
+        n_real = c["n_real"]
+        out = h_fin[:, :n_real] if n_real is not None else h_fin
+        # saved must be a pure-array pytree; the (cheap) config dict is
+        # re-derived in the backward
+        return out, (params, h, x, mask, boundary, resid_arrays)
+
+    def hidden_bwd(saved, dh_fin):
+        params, h, x, mask, boundary, resid_arrays = saved
+        c = _prep(params, h, x, mask)
+        B, N, F_in, n_real = c["B"], c["N"], c["F_in"], c["n_real"]
+        if n_real is not None:
+            dh_fin = jnp.pad(
+                dh_fin, ((0, 0), (0, N - n_real), (0, 0))
+            )
+        dh0, dxp, leaf_grads = _train_bwd(
+            params, c, boundary, resid_arrays, dh_fin
+        )
+        # embedding pullback (XLA): h0 = h @ We + be
+        h_pad = c["h_padded"]
+        dh0_2d = dh0.reshape(B * N, -1)
+        d_we = jax.lax.dot_general(
+            h_pad.reshape(B * N, F_in), dh0_2d,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d_be = dh0_2d.sum(axis=0)
+        d_h = (dh0_2d @ params.w_embed.T).reshape(B, N, F_in)
+        dx = jnp.concatenate(dxp, axis=-1)
+        if n_real is not None:
+            d_h = d_h[:, :n_real]
+            dx = dx[:, :n_real]
+        d_layers = tuple(
+            unsplit_layer_grads(
+                {nm: leaf_grads[nm][i] for nm in _LEAF_NAMES}
+            )
+            for i in range(c["depth"])
+        )
+        d_params = ModelParams(
+            w_embed=d_we,
+            b_embed=d_be,
+            layers=d_layers,
+            w_out0=jnp.zeros_like(params.w_out0),
+            b_out0=jnp.zeros_like(params.b_out0),
+            w_out1=jnp.zeros_like(params.w_out1),
+            b_out1=jnp.zeros_like(params.b_out1),
+        )
+        d_mask = None if mask is None else jnp.zeros_like(mask)
+        return d_params, d_h, dx, d_mask
+
+    hidden.defvjp(hidden_fwd, hidden_bwd)
+    return hidden

@@ -46,6 +46,12 @@ _REGISTRY: Dict[str, Callable] = {
     # property regression
     "qm9": _lazy("qm9", "run", "QM9Config"),
     "qm9_tpu": _lazy("qm9", "run", "QM9Config", data_parallel=True),
+    # Pallas train-kernel backbone (2.4x the lax epoch on v5e; see
+    # bench_train.py / BENCH_TRAIN.json)
+    "qm9_kernel": _lazy(
+        "qm9", "run", "QM9Config",
+        data_parallel=False, use_kernel_backbone=True,
+    ),
     # large heterogeneous
     "ani": _lazy("ani", "run", "ANIConfig"),
     "oc20": _lazy("oc20", "run", "OC20Config"),

@@ -472,3 +472,114 @@ def test_resid_kernel_masked_interpret(setup):
     assert np.isfinite(np.asarray(f)).all()
     np.testing.assert_allclose(e, e_ref, **TOL)
     np.testing.assert_allclose(f, -g, **TOL)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_resid_backward_param_grads(setup, masked):
+    """want_param_grads=True must reproduce jax.vjp's PARAMETER cotangents
+    (every _LEAF_NAMES leaf) for the layer, masked and unmasked."""
+    from sake_tpu.kernels.depthgrid_ef import wide_stack, _LEAF_NAMES
+    from sake_tpu.kernels.resid_ef import layer_fwd_resid, layer_bwd_resid
+    from sake_tpu.kernels.split_ef import head_expansion_matrices
+
+    _, _, kp, h_raw, x = setup
+    rng = np.random.RandomState(13)
+    B, N, _ = h_raw.shape
+    leaves = wide_stack(kp, n_heads=4)
+    p = {name: leaf[0] for name, leaf in zip(_LEAF_NAMES, leaves)}
+    e_rep, e_tile = head_expansion_matrices(16, 4)
+    mm = lambda a, w: jnp.dot(a, w, preferred_element_type=jnp.float32)
+    h = (h_raw @ kp.w_embed + kp.b_embed).astype(jnp.float32)
+    mask4 = None
+    if masked:
+        mask, _ = _edge_mask(rng, B, N)
+        mask4 = mask[..., None]
+    xp = [x[..., k : k + 1] for k in range(3)]
+    vp = [jnp.asarray(rng.randn(B, N, 1), jnp.float32) for _ in range(3)]
+
+    def f(p_, h_, xp_, vp_):
+        h2, xp2, vp2, _ = layer_fwd_resid(
+            p_, h_, xp_, vp_, 1.0, e_rep=e_rep, e_tile=e_tile, mm=mm,
+            mask=mask4,
+        )
+        return h2, list(xp2), list(vp2)
+
+    out, vjp = jax.vjp(f, p, h, list(xp), list(vp))
+    _, _, _, resid = layer_fwd_resid(
+        p, h, xp, vp, 1.0, e_rep=e_rep, e_tile=e_tile, mm=mm, mask=mask4
+    )
+    dh = jnp.asarray(rng.randn(*h.shape), jnp.float32)
+    dxp = [jnp.asarray(rng.randn(B, N, 1), jnp.float32) for _ in range(3)]
+    dvp = [jnp.asarray(rng.randn(B, N, 1), jnp.float32) for _ in range(3)]
+    want_p, want_dh, _, _ = vjp((dh, dxp, dvp))
+    got_dh, _, _, dW = layer_bwd_resid(
+        p, resid, h, xp, vp, 1.0, dh, dxp, dvp,
+        e_rep=e_rep, e_tile=e_tile, mm=mm, mask=mask4,
+        want_param_grads=True,
+    )
+    np.testing.assert_allclose(got_dh, want_dh, rtol=1e-3, atol=1e-4)
+    assert set(dW) == set(want_p)
+    for name in sorted(dW):
+        np.testing.assert_allclose(
+            dW[name], want_p[name], rtol=2e-3, atol=2e-4,
+            err_msg=f"param grad mismatch: {name}",
+        )
+
+
+def _kernel_readout(kp, h_fin):
+    """XLA-side energy readout matching the linen embedding_out head."""
+    B, N, F = h_fin.shape
+    z = jax.nn.silu(h_fin.reshape(B * N, F) @ kp.w_out0 + kp.b_out0)
+    out = (z @ kp.w_out1 + kp.b_out1).reshape(B, N, -1)
+    return out
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_hidden_fn_training_grads(setup, masked):
+    """make_hidden_fn: jax.grad of an energy loss through the custom-VJP
+    kernel path must match the linen autodiff oracle for EVERY parameter
+    (converted through the adapter, which is linear on leaves)."""
+    from sake_tpu.kernels.resid_ef import make_hidden_fn
+
+    model, params, kp, h, x = setup
+    rng = np.random.RandomState(17)
+    B, N, _ = h.shape
+    mask = node_m = None
+    if masked:
+        mask, node_m = _edge_mask(rng, B, N)
+    w = jnp.asarray(rng.randn(B), jnp.float32)
+
+    hidden = make_hidden_fn(batch_tile=2, pad_atoms=True, interpret=True)
+
+    def loss_kernel(kp_):
+        h_fin = hidden(kp_, h, x, mask)
+        out = _kernel_readout(kp_, h_fin)
+        if node_m is not None:
+            out = out * node_m[..., None]
+        e = out.sum(axis=(-2, -1))
+        return (e * w).sum()
+
+    def loss_linen(p_):
+        out, _, _ = model.apply(p_, h, x, mask=mask)
+        if node_m is not None:
+            out = out * node_m[..., None]
+        e = out.sum(axis=(-2, -1))
+        return (e * w).sum()
+
+    l_k = loss_kernel(kp)
+    l_l = loss_linen(params)
+    np.testing.assert_allclose(l_k, l_l, rtol=1e-4)
+
+    g_kernel = jax.grad(loss_kernel)(kp)
+    g_linen_tree = jax.grad(loss_linen)(params)
+    g_oracle = model_params_from_linen(g_linen_tree)
+
+    flat_k, _ = jax.tree.flatten(g_kernel)
+    flat_o, _ = jax.tree.flatten(g_oracle)
+    paths = jax.tree_util.tree_flatten_with_path(g_kernel)[0]
+    assert len(flat_k) == len(flat_o)
+    for (path, gk), go in zip(paths, flat_o):
+        np.testing.assert_allclose(
+            gk, go, rtol=2e-3, atol=2e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )

@@ -86,3 +86,25 @@ def test_workload_smoke(name):
     run, cfg = get_workload(name, **TINY[name])
     _, results = run(cfg)
     _finite(results)
+
+
+def test_qm9_kernel_backbone():
+    """QM9 training on the Pallas train-kernel backbone (interpret mode on
+    CPU): the full task path — kernel custom-VJP gradients, optimizer,
+    eval — must run end-to-end and produce finite metrics."""
+    from sake_tpu.tasks.qm9 import QM9Config, run
+
+    _, results = run(
+        QM9Config(
+            hidden_features=8,
+            depth=2,
+            n_epochs=1,
+            n_samples=64,
+            batch_size=16,
+            data_parallel=False,
+            use_kernel_backbone=True,
+            kernel_batch_tile=4,
+            kernel_interpret=True,
+        )
+    )
+    _finite(results)
