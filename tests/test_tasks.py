@@ -108,3 +108,24 @@ def test_qm9_kernel_backbone():
         )
     )
     _finite(results)
+
+
+def test_ani_kernel_backbone():
+    """ANI bucketed training on the Pallas train-kernel backbone: one
+    kernel compile per bucket edge, masked, end-to-end finite."""
+    from sake_tpu.tasks.ani import ANIConfig, run
+
+    _, results = run(
+        ANIConfig(
+            hidden_features=8,
+            depth=2,
+            n_epochs=1,
+            n_samples=64,
+            batch_size=8,
+            max_buckets=2,
+            use_kernel_backbone=True,
+            kernel_batch_tile=4,
+            kernel_interpret=True,
+        )
+    )
+    _finite(results)
