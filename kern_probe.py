@@ -106,10 +106,11 @@ def main():
         if rd == "bf16x":  # everything except the geometry planes
             lowp = set(_EDGE_RESIDS + _NODE_RESIDS) - {"r", "t"}
         ch = int(kv.get("ch", 512))
+        pdt = jnp.bfloat16 if kv.get("pdtype") == "bf16" else None
         ef = jax.jit(
             lambda p, xx: resid_energy_forces(
                 p, h, xx, pad_atoms=pad, resid_dtype=rdt, chunk=ch,
-                resid_lowp=lowp, **kw
+                resid_lowp=lowp, pool_dtype=pdt, **kw
             )
         )
     elif impl in ("resid-fwd", "fori-fwd"):

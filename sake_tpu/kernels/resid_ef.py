@@ -99,7 +99,7 @@ def _node_channels(lay, C):
 
 
 def layer_fwd_resid(p, h, xp, vp, upd, *, e_rep, e_tile, mm, mm_edge=None,
-                    n_real=None, mask=None):
+                    n_real=None, mask=None, pool_dtype=None):
     """Forward of one layer, returning outputs AND the residual dict the
     hand-written backward consumes. Must stay numerically identical to
     ``depthgrid_ef.layer_forward_wide`` (tested); with ``mask`` (a
@@ -171,7 +171,16 @@ def layer_fwd_resid(p, h, xp, vp, upd, *, e_rep, e_tile, mm, mm_edge=None,
         coeff = coeff * mask
 
     inv_r = 1.0 / (r + 1e-5)
-    pooled = [(coeff * (d0[k] * inv_r)).sum(axis=-2) for k in range(3)]
+    if pool_dtype is not None:
+        cp = coeff.astype(pool_dtype)
+        pooled = [
+            (cp * (d0[k] * inv_r).astype(pool_dtype)).sum(
+                axis=-2, dtype=jnp.float32
+            )
+            for k in range(3)
+        ]
+    else:
+        pooled = [(coeff * (d0[k] * inv_r)).sum(axis=-2) for k in range(3)]
     if mask is not None:
         count = mask.sum(axis=-2)  # (BT, N, 1)
         norm = [pk / (count + 1e-8) for pk in pooled]
@@ -237,7 +246,7 @@ def _make_mmt_prec(matmul_dtype, precision):
 def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
                     d_vp_out, *, e_rep, e_tile, mm, mm_edge=None,
                     n_real=None, mask=None, mm_t=None, mm_edge_t=None,
-                    want_param_grads=False):
+                    want_param_grads=False, pool_dtype=None):
     """Hand-written pullback of ``layer_fwd_resid`` w.r.t. its INPUTS
     ``(h, xp, vp)`` — parameters are closed over (input-only cotangents,
     matching what force evaluation needs). Consumes the residual dict; the
@@ -348,15 +357,27 @@ def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
 
     # --- U/T: pooled_k = sum_j coeff * u_k ----------------------------------
     u = [dk * inv_r for dk in d0]
-    d_coeff = (
-        d_pooled[0][:, :, None, :] * u[0]
-        + d_pooled[1][:, :, None, :] * u[1]
-        + d_pooled[2][:, :, None, :] * u[2]
-    )  # (BT, N, N, C)
-    d_u = [
-        (coeff * d_pooled[k][:, :, None, :]).sum(axis=-1, keepdims=True)
-        for k in range(3)
-    ]  # 3 x (BT, N, N, 1)
+    if pool_dtype is not None:
+        dpl = [dp.astype(pool_dtype)[:, :, None, :] for dp in d_pooled]
+        ul = [uk.astype(pool_dtype) for uk in u]
+        cl = coeff.astype(pool_dtype)
+        d_coeff = (
+            dpl[0] * ul[0] + dpl[1] * ul[1] + dpl[2] * ul[2]
+        ).astype(jnp.float32)
+        d_u = [
+            (cl * dpl[k]).sum(axis=-1, keepdims=True, dtype=jnp.float32)
+            for k in range(3)
+        ]
+    else:
+        d_coeff = (
+            d_pooled[0][:, :, None, :] * u[0]
+            + d_pooled[1][:, :, None, :] * u[1]
+            + d_pooled[2][:, :, None, :] * u[2]
+        )  # (BT, N, N, C)
+        d_u = [
+            (coeff * d_pooled[k][:, :, None, :]).sum(axis=-1, keepdims=True)
+            for k in range(3)
+        ]  # 3 x (BT, N, N, 1)
     d_d0 = [du * inv_r for du in d_u]
     d_ir = d_u[0] * d0[0] + d_u[1] * d0[1] + d_u[2] * d0[2]
     d_r = -(inv_r * inv_r) * d_ir  # from ir = 1/(r + 1e-5)
@@ -551,6 +572,7 @@ def resid_energy_forces(
     pad_atoms: bool = False,
     chunk: int | None = 512,
     resid_lowp=None,
+    pool_dtype=None,
     interpret: bool = False,
 ):
     """Fused (E, F) evaluation with residual streaming + hand-written
@@ -659,6 +681,7 @@ def resid_energy_forces(
                 read_p(lrefs), hc, xp, vp, upd_ref[d, 0],
                 e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm, mm_edge=mm_edge,
                 n_real=None if has_mask else n_real, mask=m4,
+                pool_dtype=pool_dtype,
             )
             for (_, name), rr in zip(resid_shapes, rrefs):
                 rr[0] = resid[name].astype(rr.dtype)
@@ -765,6 +788,7 @@ def resid_energy_forces(
                 read_p(lrefs), resid, h_in, xp_in, vp_in, upd, dh, dxp, dvp,
                 e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm, mm_edge=mm_edge,
                 n_real=None if has_mask else n_real, mask=m4,
+                pool_dtype=pool_dtype,
             )
             sdh[:] = dh2
             for k in range(3):

@@ -42,6 +42,10 @@ class OC20Config:
     max_buckets: int = 5
     data_dir: Optional[str] = None
     seed: int = 2666
+    # Pallas train-kernel backbone (see tasks/ani.py)
+    use_kernel_backbone: bool = False
+    kernel_batch_tile: int = 4
+    kernel_interpret: bool = False
 
 
 def run(cfg: OC20Config, logger: Optional[MetricLogger] = None):
@@ -76,10 +80,38 @@ def run(cfg: OC20Config, logger: Optional[MetricLogger] = None):
         jax.random.PRNGKey(cfg.seed), b0["species"], b0["x"], b0["edge_mask"], b0["node_mask"]
     )
     tx = make_optimizer(cfg.learning_rate, zero_nans=True, if_finite_patience=None)
+
+    if cfg.use_kernel_backbone:
+        from sake_tpu.kernels import model_params_from_linen
+        from sake_tpu.kernels.resid_ef import make_hidden_fn
+
+        hidden = make_hidden_fn(
+            n_heads=cfg.n_heads,
+            update=cfg.update,
+            batch_tile=cfg.kernel_batch_tile,
+            pad_atoms=True,
+            edge_matmul_dtype=None if cfg.kernel_interpret else jnp.bfloat16,
+            resid_dtype=jnp.float32 if cfg.kernel_interpret else jnp.bfloat16,
+            interpret=cfg.kernel_interpret,
+        )
+        params = model_params_from_linen(params["params"]["backbone"])
+
+        def forward(p, species, x, edge_mask, node_mask):
+            h_fin = hidden(p, species, x, edge_mask)
+            b, n, f = h_fin.shape
+            z = jax.nn.silu(h_fin.reshape(b * n, f) @ p.w_out0 + p.b_out0)
+            out = (z @ p.w_out1 + p.b_out1).reshape(b, n, -1)
+            return (out[..., 0] * node_mask).sum(-1, keepdims=True)
+
+    else:
+
+        def forward(p, species, x, edge_mask, node_mask):
+            return model.apply(p, species, x, edge_mask, node_mask)
+
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
     def loss_fn(params, batch):
-        pred = model.apply(
+        pred = forward(
             params, batch["species"], batch["x"], batch["edge_mask"], batch["node_mask"]
         )[..., 0]
         return ((pred - (batch["e"] - e_mean) / e_std) ** 2).mean()
@@ -113,13 +145,22 @@ def run(cfg: OC20Config, logger: Optional[MetricLogger] = None):
             wall=round(time.time() - t0, 2),
         )
 
-    infer = jax.jit(model.apply)
+    infer = jax.jit(forward)
     preds, targets = [], []
     for edge, bucket in ds_te.buckets.items():
         b = _prep_batch(bucket, n_classes)
+        nb = len(b["x"])
+        if cfg.use_kernel_backbone and nb % cfg.kernel_batch_tile:
+            n_pad = cfg.kernel_batch_tile - nb % cfg.kernel_batch_tile
+            b = jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [jnp.asarray(a)] + [jnp.asarray(a[:1])] * n_pad, axis=0
+                ),
+                b,
+            )
         p = infer(state.params, b["species"], b["x"], b["edge_mask"], b["node_mask"])
-        preds.append(np.asarray(p[..., 0]) * e_std + e_mean)
-        targets.append(np.asarray(b["e"]))
+        preds.append(np.asarray(p[..., 0])[:nb] * e_std + e_mean)
+        targets.append(np.asarray(b["e"])[:nb])
     mae, low, high = bootstrap_mae(
         jnp.asarray(np.concatenate(preds)), jnp.asarray(np.concatenate(targets))
     )

@@ -129,3 +129,23 @@ def test_ani_kernel_backbone():
         )
     )
     _finite(results)
+
+
+def test_oc20_kernel_backbone():
+    """OC20 bucketed training on the Pallas train-kernel backbone."""
+    from sake_tpu.tasks.oc20 import OC20Config, run
+
+    _, results = run(
+        OC20Config(
+            hidden_features=8,
+            depth=2,
+            n_epochs=1,
+            n_samples=32,
+            batch_size=4,
+            max_buckets=2,
+            use_kernel_backbone=True,
+            kernel_batch_tile=4,
+            kernel_interpret=True,
+        )
+    )
+    _finite(results)
