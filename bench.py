@@ -178,12 +178,25 @@ def main():
         variants = os.environ.get(
             "SAKE_BENCH_KERNEL_VARIANTS", DEFAULT_KERNEL_VARIANTS
         ).split(";")
+        best_variant = None
         for variant in variants:
             rate = _kernel_subprocess(batch, variant, kernel_timeout)
             if rate is not None:
                 sweep[variant] = round(rate, 1)
                 if rate > value:
                     value, impl = rate, variant
+                    best_variant = variant
+        # the kernel path scales past the lax HBM ceiling (batch 4096 OOMs
+        # the lax program; the chunked kernel pipeline does not) — probe
+        # the winning variant at a big batch too (verified like the rest;
+        # the oracle is evaluated in 2048-sized pieces)
+        big = int(os.environ.get("SAKE_BENCH_KERNEL_BIG_BATCH", "8192"))
+        if best_variant is not None and big > batch:
+            rate = _kernel_subprocess(big, best_variant, kernel_timeout)
+            if rate is not None:
+                sweep[f"{best_variant}@{big}"] = round(rate, 1)
+                if rate > value:
+                    value, impl, batch = rate, f"{best_variant}@{big}", big
 
     print(
         json.dumps(

@@ -3,13 +3,20 @@ real chip. Run as a subprocess per config (Mosaic compile failures can
 SIGKILL the remote compile helper; a probe must be killable).
 
 Usage:
-    python bench/kern_probe.py <impl> <batch> [key=val ...]
+    python kern_probe.py <impl> <batch> [key=val ...]
 
-impl: depthgrid | fori
+impl: depthgrid | fori | resid | resid-fwd | fori-fwd
+      (the -fwd variants are timing-only: the backward kernel is
+      dead-code-eliminated and F is filled with the cached truth)
 keys: bt (batch_tile), prec (hi|high|default), dtype (bf16|f32),
-      eprec/edtype (edge-matmul tier overrides), pad (0|1, fori only)
+      eprec/edtype (edge-matmul tier overrides), pad (0|1),
+      rdtype (f32|bf16|bf16x, resid residual storage),
+      ch (resid batch chunk), pdtype (bf16 pooled products — measured
+      slower; see CLAUDE.md)
 
-Prints PROBE_VERIFIED f_err=... err_lax=... and PROBE_RESULT <evals/s>.
+Prints PROBE_COMPILE_S, PROBE_VERIFIED f_err=... err_lax=... (against
+the HIGHEST-precision oracle, cached per batch in /tmp), and
+PROBE_RESULT <evals/s>.
 """
 
 import sys
@@ -59,19 +66,29 @@ def main():
         d = np.load(cache)
         e_t, f_t, err_lax = d["e_t"], d["f_t"], float(d["err_lax"])
     else:
+        # the lax path OOMs HBM above batch 2048 — evaluate the oracle in
+        # 2048-sized pieces (the kernels themselves scale past it)
+        piece = min(batch, 2048)
+
+        def _piecewise(ef):
+            es, fs = [], []
+            for s_ in range(0, batch, piece):
+                e_, f_ = ef(params, x[s_ : s_ + piece])
+                jax.block_until_ready((e_, f_))
+                es.append(np.asarray(e_))
+                fs.append(np.asarray(f_))
+            return np.concatenate(es), np.concatenate(fs)
+
         ef_lax = jax.jit(make_energy_force_fn(model, sp, 0.0, 1.0))
-        e_ref, f_ref = ef_lax(params, x)
-        jax.block_until_ready((e_ref, f_ref))
+        e_ref, f_ref = _piecewise(ef_lax)
         # truth: lax path at HIGHEST matmul precision (measured ~4e-5 from
         # CPU fp32 truth; see CLAUDE.md measurement log)
         with jax.default_matmul_precision("highest"):
             ef_hi = jax.jit(make_energy_force_fn(model, sp, 0.0, 1.0))
-            e_t, f_t = ef_hi(params, x)
-            jax.block_until_ready((e_t, f_t))
-        scale = float(jnp.abs(f_t).max()) + 1e-12
-        err_lax = float(jnp.abs(f_ref - f_t).max()) / scale
-        np.savez(cache, e_t=np.asarray(e_t), f_t=np.asarray(f_t),
-                 err_lax=err_lax)
+            e_t, f_t = _piecewise(ef_hi)
+        scale = float(np.abs(f_t).max()) + 1e-12
+        err_lax = float(np.abs(f_ref - f_t).max()) / scale
+        np.savez(cache, e_t=e_t, f_t=f_t, err_lax=err_lax)
     f_scale = float(np.abs(f_t).max()) + 1e-12
 
     kp = model_params_from_linen(params)

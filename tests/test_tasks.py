@@ -53,6 +53,9 @@ TINY = {
                           epochs_per_block=1, n_samples=60, batch_size=12),
     "qm9_tpu": dict(hidden_features=8, depth=2, n_epochs=1, n_samples=256,
                     batch_size=16),  # shard_map DP over the 8 fake devices
+    "qm9_kernel": dict(hidden_features=8, depth=2, n_epochs=1, n_samples=64,
+                       batch_size=16, kernel_batch_tile=4,
+                       kernel_interpret=True),  # Pallas train kernels
     "dw4": dict(depth=2, hidden_features=8, n_epochs=2, n_train=64, n_test=32),
     "qm9_aug": dict(depth=1, mp_depth=1, hidden_features=8, n_epochs=1,
                     epochs_per_block=1, n_train=48, n_test=16, batch_size=16),
@@ -87,27 +90,6 @@ def test_workload_smoke(name):
     _, results = run(cfg)
     _finite(results)
 
-
-def test_qm9_kernel_backbone():
-    """QM9 training on the Pallas train-kernel backbone (interpret mode on
-    CPU): the full task path — kernel custom-VJP gradients, optimizer,
-    eval — must run end-to-end and produce finite metrics."""
-    from sake_tpu.tasks.qm9 import QM9Config, run
-
-    _, results = run(
-        QM9Config(
-            hidden_features=8,
-            depth=2,
-            n_epochs=1,
-            n_samples=64,
-            batch_size=16,
-            data_parallel=False,
-            use_kernel_backbone=True,
-            kernel_batch_tile=4,
-            kernel_interpret=True,
-        )
-    )
-    _finite(results)
 
 
 def test_ani_kernel_backbone():
