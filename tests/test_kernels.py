@@ -583,3 +583,30 @@ def test_hidden_fn_training_grads(setup, masked):
             gk, go, rtol=2e-3, atol=2e-4,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
         )
+
+
+def test_resid_kernel_other_widths():
+    """Kernel path generality: hidden/head sizes other than the flagship
+    (64, 4) — shapes are read off the parameter pytree, nothing baked in."""
+    from sake_tpu.kernels.resid_ef import resid_energy_forces
+
+    rng = np.random.RandomState(23)
+    B, N, F = 4, 6, 5
+    h = jnp.asarray(rng.randn(B, N, F), jnp.float32)
+    x = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+    model = SAKEModel(
+        hidden_features=32, out_features=1, depth=2, n_heads=2
+    )
+    params = model.init(jax.random.PRNGKey(0), h, x)
+    kp = model_params_from_linen(params)
+
+    def energy(x_):
+        out, _, _ = model.apply(params, h, x_)
+        return out.sum(), out.sum(axis=(-2, -1))
+
+    (_, e_ref), g = jax.value_and_grad(energy, has_aux=True)(x)
+    e, f = resid_energy_forces(
+        kp, h, x, n_heads=2, batch_tile=2, pad_atoms=True, interpret=True
+    )
+    np.testing.assert_allclose(e, e_ref, **TOL)
+    np.testing.assert_allclose(f, -g, **TOL)
