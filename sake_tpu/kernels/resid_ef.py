@@ -99,7 +99,8 @@ def _node_channels(lay, C):
 
 
 def layer_fwd_resid(p, h, xp, vp, upd, *, e_rep, e_tile, mm, mm_edge=None,
-                    n_real=None, mask=None, pool_dtype=None):
+                    n_real=None, mask=None, pool_dtype=None,
+                    spat=None, mm_pool=None):
     """Forward of one layer, returning outputs AND the residual dict the
     hand-written backward consumes. Must stay numerically identical to
     ``depthgrid_ef.layer_forward_wide`` (tested); with ``mask`` (a
@@ -171,7 +172,19 @@ def layer_fwd_resid(p, h, xp, vp, upd, *, e_rep, e_tile, mm, mm_edge=None,
         coeff = coeff * mask
 
     inv_r = 1.0 / (r + 1e-5)
-    if pool_dtype is not None:
+    if spat is not None:
+        # MXU-pooled: pooled_k[b,i,:] = sum_j coeff[b,i,j,:] * u_k[b,i,j]
+        # as ONE batched matmul U3T^T @ coeff (row-contraction over the
+        # N*N edge sublanes) via the eye-expanded U3T — replaces three
+        # full-width (E, C) VPU multiply+reduce chains (the measured
+        # round-2 wall).
+        U3T = _build_u3t(d0, inv_r, spat, BT, N)
+        cflat = coeff.reshape(BT, N * N, C)
+        pooled_stack = mm_pool(U3T, cflat, ((1,), (1,)))  # (BT, 3N, C)
+        pooled = [
+            pooled_stack[:, k * N : (k + 1) * N, :] for k in range(3)
+        ]
+    elif pool_dtype is not None:
         cp = coeff.astype(pool_dtype)
         pooled = [
             (cp * (d0[k] * inv_r).astype(pool_dtype)).sum(
@@ -226,6 +239,53 @@ def layer_fwd_resid(p, h, xp, vp, upd, *, e_rep, e_tile, mm, mm_edge=None,
     return h_out, xp_out, vp_out, resid
 
 
+def pool_patterns(N: int):
+    """Constant 0/1 selection pattern for the MXU-pooled spatial
+    attention (computed in XLA, passed as a kernel input — Pallas rejects
+    captured array constants): ``patT (N*N, 3N)`` with
+    ``patT[i2*N + j, k*N + i] = delta(i, i2)`` (the same block repeated
+    for the three coordinate planes k)."""
+    eye = jnp.eye(N, dtype=jnp.float32)
+    pat1 = jnp.kron(eye, jnp.ones((1, N), jnp.float32))  # (N, N*N)
+    return jnp.tile(pat1.T, (1, 3))  # (N*N, 3N)
+
+
+def _make_bmm_prec(matmul_dtype, precision):
+    """Batched (single leading batch dim) ``dot_general`` with the same
+    dtype/precision contract as ``_make_mm_prec``. ``dims`` are the
+    (lhs, rhs) contracting dims."""
+
+    def bmm(a, b, dims):
+        if matmul_dtype is not None:
+            a = a.astype(matmul_dtype)
+            b = b.astype(matmul_dtype)
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(dims, ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    return bmm
+
+
+def _build_u3t(d0, inv_r, patT, BT, N):
+    """Eye-expanded selection tensor in TRANSPOSED form
+    ``U3T (BT, N*N, 3N)`` with
+    ``U3T[b, i2*N + j, k*N + i] = delta(i, i2) * u_k[b, i2, j]``.
+
+    Built entirely in the u-planes' natural sublane-major layout (the
+    edge index stays in sublanes; u values broadcast along lanes into
+    their k-block) — no sublane->lane relayout anywhere. The pooled
+    contraction then contracts the SUBLANE dim of U3T (the ``a^T @ g``
+    row-contraction shape Mosaic lowers exactly).
+    """
+    NN = N * N
+    u_flat = [(dk * inv_r).reshape(BT, NN, 1) for dk in d0]
+    ucat = jnp.concatenate(
+        [jnp.broadcast_to(uf, (BT, NN, N)) for uf in u_flat], axis=-1
+    )  # (BT, N*N, 3N)
+    return patT[None] * ucat
+
+
 def _make_mmt_prec(matmul_dtype, precision):
     """Row-contraction matmul ``a^T @ g`` via ``dot_general`` contracting
     dim 0 of both operands — the weight-gradient shape. No transpose is
@@ -246,7 +306,8 @@ def _make_mmt_prec(matmul_dtype, precision):
 def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
                     d_vp_out, *, e_rep, e_tile, mm, mm_edge=None,
                     n_real=None, mask=None, mm_t=None, mm_edge_t=None,
-                    want_param_grads=False, pool_dtype=None):
+                    want_param_grads=False, pool_dtype=None,
+                    spat=None, mm_pool=None):
     """Hand-written pullback of ``layer_fwd_resid`` w.r.t. its INPUTS
     ``(h, xp, vp)`` — parameters are closed over (input-only cotangents,
     matching what force evaluation needs). Consumes the residual dict; the
@@ -357,7 +418,25 @@ def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
 
     # --- U/T: pooled_k = sum_j coeff * u_k ----------------------------------
     u = [dk * inv_r for dk in d0]
-    if pool_dtype is not None:
+    if spat is not None:
+        # MXU pullback of the pooled contraction:
+        #   d_coeff = U3T @ d_pooled_stack   (one batched matmul)
+        #   d_u via the Gram G = coeff @ d_pooled_stack^T, rows extracted
+        #   by the patT selection (cheap (BT, N*N, 3N) mask+reduce).
+        NN = N * N
+        U3T = _build_u3t(d0, inv_r, spat, BT, N)
+        dps = jnp.concatenate(d_pooled, axis=1)  # (BT, 3N, C)
+        d_coeff = mm_pool(U3T, dps, ((2,), (1,))).reshape(BT, N, N, C)
+        cflat = coeff.reshape(BT, NN, C)
+        G = mm_pool(cflat, dps, ((2,), (2,)))  # (BT, N*N, 3N)
+        Gp = G * spat[None]
+        d_u = [
+            Gp[:, :, k * N : (k + 1) * N]
+            .sum(axis=-1, keepdims=True)
+            .reshape(BT, N, N, 1)
+            for k in range(3)
+        ]
+    elif pool_dtype is not None:
         dpl = [dp.astype(pool_dtype)[:, :, None, :] for dp in d_pooled]
         ul = [uk.astype(pool_dtype) for uk in u]
         cl = coeff.astype(pool_dtype)
@@ -573,10 +652,21 @@ def resid_energy_forces(
     chunk: int | None = 512,
     resid_lowp=None,
     pool_dtype=None,
+    spatial_mode: str | None = None,
+    pool_matmul_dtype=None,
+    pool_precision=None,
     interpret: bool = False,
 ):
     """Fused (E, F) evaluation with residual streaming + hand-written
     backward: ``E (B,)``, ``F = -dE/dx (B, N, 3)``.
+
+    ``spatial_mode``: ``None`` keeps the VPU pooled-spatial path;
+    ``'mxu'`` routes the pooled contraction AND its pullback through
+    batched MXU matmuls (transposed eye-expansion ``U3T``, built without
+    any relayout); ``'mxuf'``/``'mxub'`` apply it to only the forward /
+    only the backward kernel (A/B isolation).
+    ``pool_matmul_dtype``/``pool_precision`` set the tier of those
+    matmuls (default: the edge tier, else the node tier).
 
     ``resid_dtype=jnp.bfloat16`` halves residual HBM traffic (the backward
     evaluates derivative formulas on bf16-rounded activations — error
@@ -624,6 +714,24 @@ def resid_energy_forces(
     leaves = wide_stack(params, n_heads)
     ech = _edge_channels(R, H, K, C)
     nch = _node_channels(lay0, C)
+    sp_consts: list = []
+    mm_pool = None
+    if spatial_mode is not None:
+        if spatial_mode not in ("mxu", "mxuf", "mxub"):
+            raise ValueError(f"unknown spatial_mode {spatial_mode!r}")
+        pm_dt = pool_matmul_dtype
+        pm_pr = pool_precision
+        if pm_dt is None and pm_pr is None:
+            pm_dt = (
+                edge_matmul_dtype
+                if edge_matmul_dtype is not None
+                else matmul_dtype
+            )
+            pm_pr = (
+                edge_precision if edge_precision is not None else precision
+            )
+        mm_pool = _make_bmm_prec(pm_dt, pm_pr)
+        sp_consts = [pool_patterns(N)]
 
     h0_full = (
         mm(h.reshape(B * N, F_in), params.w_embed) + params.b_embed
@@ -644,10 +752,20 @@ def resid_energy_forces(
         # --- forward kernel -----------------------------------------------------
         has_mask = mask_flat is not None
 
+        n_sp = len(sp_consts)
+
         def fwd_kernel(*refs):
             x0_ref, x1_ref, x2_ref, h_ref, upd_ref, erep_ref, etile_ref = refs[:7]
-            lrefs = refs[7 : 7 + len(leaves)]
-            o = 7 + len(leaves)
+            o = 7
+            sp_refs = refs[o : o + n_sp]
+            o += n_sp
+            spat_k = (
+                sp_refs[0][:]
+                if n_sp and spatial_mode in ("mxu", "mxuf")
+                else None
+            )
+            lrefs = refs[o : o + len(leaves)]
+            o = o + len(leaves)
             m4 = None
             if has_mask:
                 m4 = refs[o][:].reshape(BT, N, N, 1)
@@ -682,6 +800,7 @@ def resid_energy_forces(
                 e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm, mm_edge=mm_edge,
                 n_real=None if has_mask else n_real, mask=m4,
                 pool_dtype=pool_dtype,
+                spat=spat_k, mm_pool=mm_pool,
             )
             for (_, name), rr in zip(resid_shapes, rrefs):
                 rr[0] = resid[name].astype(rr.dtype)
@@ -711,6 +830,7 @@ def resid_energy_forces(
                 [_bspec((Bc, N, 1), BT)] * 3
                 + [_bspec((Bc, N, F), BT), _flag_spec(depth)]
                 + [_full_spec(e_rep), _full_spec(e_tile)]
+                + [_full_spec(sc) for sc in sp_consts]
                 + _leaf_specs(leaves)
                 + ([_bspec((Bc, N * N, 1), BT)] if has_mask else [])
             ),
@@ -724,7 +844,7 @@ def resid_energy_forces(
             + [pltpu.VMEM((BT, N, 1), jnp.float32)] * 6,
             compiler_params=_compiler_params(),
             interpret=interpret,
-        )(*x_planes, h0, upd_flags, e_rep, e_tile, *leaves,
+        )(*x_planes, h0, upd_flags, e_rep, e_tile, *sp_consts, *leaves,
           *([mask_flat] if has_mask else []))
         bh, bx0, bx1, bx2, bv0, bv1, bv2, h_fin = fwd_outs[:8]
         resid_arrays = fwd_outs[8:]
@@ -749,8 +869,16 @@ def resid_energy_forces(
         def bwd_kernel(*refs):
             (bh_ref, bx0_ref, bx1_ref, bx2_ref, bv0_ref, bv1_ref, bv2_ref,
              dhf_ref, upd_ref, erep_ref, etile_ref) = refs[:11]
-            lrefs = refs[11 : 11 + len(leaves)]
-            o = 11 + len(leaves)
+            o = 11
+            sp_refs = refs[o : o + n_sp]
+            o += n_sp
+            spat_k = (
+                sp_refs[0][:]
+                if n_sp and spatial_mode in ("mxu", "mxub")
+                else None
+            )
+            lrefs = refs[o : o + len(leaves)]
+            o = o + len(leaves)
             rrefs = refs[o : o + n_resid]
             o = o + n_resid
             m4 = None
@@ -789,6 +917,7 @@ def resid_energy_forces(
                 e_rep=erep_ref[:], e_tile=etile_ref[:], mm=mm, mm_edge=mm_edge,
                 n_real=None if has_mask else n_real, mask=m4,
                 pool_dtype=pool_dtype,
+                spat=spat_k, mm_pool=mm_pool,
             )
             sdh[:] = dh2
             for k in range(3):
@@ -808,6 +937,7 @@ def resid_energy_forces(
                 + [_bspec((Bc, N, F), BT)]
                 + [_flag_spec(depth)]
                 + [_full_spec(e_rep), _full_spec(e_tile)]
+                + [_full_spec(sc) for sc in sp_consts]
                 + _leaf_specs(leaves, rev_depth=depth)
                 + [_dbspec(s, BT, rev_depth=depth) for s, _ in resid_shapes]
                 + ([_bspec((Bc, N * N, 1), BT)] if has_mask else [])
@@ -818,7 +948,8 @@ def resid_energy_forces(
             compiler_params=_compiler_params(),
             interpret=interpret,
         )(bh, bx0, bx1, bx2, bv0, bv1, bv2, dh_fin, upd_flags, e_rep, e_tile,
-          *leaves, *resid_arrays, *([mask_flat] if has_mask else []))
+          *sp_consts, *leaves, *resid_arrays,
+          *([mask_flat] if has_mask else []))
 
         return e, dx0, dx1, dx2
 

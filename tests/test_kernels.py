@@ -610,3 +610,115 @@ def test_resid_kernel_other_widths():
     )
     np.testing.assert_allclose(e, e_ref, **TOL)
     np.testing.assert_allclose(f, -g, **TOL)
+
+
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_mxu_pooled_layer_matches_vpu(setup, use_mask):
+    """The MXU-pooled spatial attention (eye-expanded batched matmuls,
+    ``spats``) must match the VPU multiply+reduce path in both the
+    forward residuals and the hand-written backward."""
+    from sake_tpu.kernels.depthgrid_ef import wide_stack, _LEAF_NAMES
+    from sake_tpu.kernels.resid_ef import (
+        layer_fwd_resid, layer_bwd_resid, pool_patterns, _make_bmm_prec)
+    from sake_tpu.kernels.split_ef import head_expansion_matrices
+
+    _, _, kp, h_raw, x = setup
+    rng = np.random.RandomState(3)
+    B, N, _ = h_raw.shape
+    leaves = wide_stack(kp, n_heads=4)
+    p = {nm: lf[0] for nm, lf in zip(_LEAF_NAMES, leaves)}
+    e_rep, e_tile = head_expansion_matrices(16, 4)
+    mm = lambda a, w: jnp.dot(a, w, preferred_element_type=jnp.float32)
+    mm_pool = _make_bmm_prec(None, None)
+    patT = pool_patterns(N)
+    h = (h_raw.reshape(B * N, -1) @ kp.w_embed + kp.b_embed).reshape(B, N, 16)
+    xp = [x[..., k : k + 1] for k in range(3)]
+    vp = [jnp.asarray(rng.randn(B, N, 1), jnp.float32) for _ in range(3)]
+    m4 = None
+    if use_mask:
+        nm_ = (jnp.asarray(rng.rand(B, N)) > 0.25).astype(jnp.float32)
+        m4 = (nm_[:, :, None] * nm_[:, None, :])[..., None]
+
+    kw = dict(e_rep=e_rep, e_tile=e_tile, mm=mm, mask=m4)
+    kw_m = dict(kw, spat=patT, mm_pool=mm_pool)
+    r_v = layer_fwd_resid(p, h, xp, vp, 1.0, **kw)
+    r_m = layer_fwd_resid(p, h, xp, vp, 1.0, **kw_m)
+    np.testing.assert_allclose(r_v[0], r_m[0], rtol=2e-5, atol=2e-5)
+    for k in range(3):
+        np.testing.assert_allclose(r_v[1][k], r_m[1][k], rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(r_v[2][k], r_m[2][k], rtol=2e-5, atol=2e-5)
+    for nm in r_v[3]:
+        np.testing.assert_allclose(
+            r_v[3][nm], r_m[3][nm], rtol=2e-5, atol=2e-5, err_msg=nm
+        )
+    dh = jnp.asarray(rng.randn(B, N, 16), jnp.float32)
+    dxp = [jnp.asarray(rng.randn(B, N, 1), jnp.float32) for _ in range(3)]
+    dvp = [jnp.asarray(rng.randn(B, N, 1), jnp.float32) for _ in range(3)]
+    bv = layer_bwd_resid(p, r_v[3], h, xp, vp, 1.0, dh, dxp, dvp, **kw)
+    bm = layer_bwd_resid(p, r_m[3], h, xp, vp, 1.0, dh, dxp, dvp, **kw_m)
+    np.testing.assert_allclose(bv[0], bm[0], rtol=1e-4, atol=1e-4)
+    for k in range(3):
+        np.testing.assert_allclose(bv[1][k], bm[1][k], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(bv[2][k], bm[2][k], rtol=1e-4, atol=1e-4)
+
+
+def test_resid_kernel_mxu_interpret(setup):
+    """The full residual kernel pair with ``spatial_mode='mxu'`` must
+    reproduce E and F (interpret mode)."""
+    from sake_tpu.kernels.resid_ef import resid_energy_forces
+
+    model, params, kp, h, x = setup
+
+    def energy(x_):
+        out, _, _ = model.apply(params, h, x_)
+        return out.sum(), out.sum(axis=(-2, -1))
+
+    (_, e_ref), g = jax.value_and_grad(energy, has_aux=True)(x)
+    e, f = resid_energy_forces(
+        kp, h, x, batch_tile=2, spatial_mode="mxu", interpret=True
+    )
+    np.testing.assert_allclose(e, e_ref, **TOL)
+    np.testing.assert_allclose(f, -g, **TOL)
+
+
+def test_train2_second_order_grads(setup):
+    """Second-order (force-loss) training on the JVP-augmented kernel
+    pair: gradients of a force+energy loss w.r.t. every parameter, h and
+    x must match plain lax double autodiff (reference objective:
+    ``scripts/md17/run.py:54-70``)."""
+    from sake_tpu.kernels.train2_ef import make_ef_train2
+
+    model, params, kp, h, x = setup
+    rng = np.random.RandomState(7)
+    B, N, _ = h.shape
+    e_t = jnp.asarray(rng.randn(B), jnp.float32)
+    f_t = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+
+    def ef_lax(p, h_, x_):
+        def e_fn(xx):
+            out, _, _ = model_forward(p, h_, xx, n_heads=4, update=True)
+            return out.sum(axis=(-2, -1)).sum(), out.sum(axis=(-2, -1))
+        g, e = jax.grad(e_fn, has_aux=True)(x_)
+        return e, -g
+
+    ef_k = make_ef_train2(
+        n_heads=4, update=True, batch_tile=2, aug_batch_tile=2,
+        pad_atoms=True, chunk=None, interpret=True,
+    )
+
+    def loss_with(ef):
+        def loss(p, h_, x_):
+            e, f = ef(p, h_, x_)
+            return ((e - e_t) ** 2).sum() + 0.5 * ((f - f_t) ** 2).sum()
+        return loss
+
+    l_ref, g_ref = jax.value_and_grad(loss_with(ef_lax), argnums=(0, 1, 2))(
+        kp, h, x
+    )
+    l_k, g_k = jax.value_and_grad(loss_with(ef_k), argnums=(0, 1, 2))(
+        kp, h, x
+    )
+    np.testing.assert_allclose(l_k, l_ref, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_k)):
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=1e-5)
