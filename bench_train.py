@@ -155,6 +155,31 @@ def bench_kernel(i, x, m, y, batch: int, repeats: int = 3) -> float:
         y_hat = (out * graph_live).sum(-2)
         return jnp.abs(b["y"] - y_hat).mean()
 
+    # --- parity gate (repo protocol: no kernel number without a check) ---
+    # One-batch loss + input-gradient agreement against the lax/linen
+    # model: exercises the full hand-written backward. bf16 edge matmuls
+    # + residuals bound the tolerance.
+    b0 = {k: v[0] for k, v in batches.items()}
+
+    def lax_loss(xx):
+        y_hat, _, __ = model.apply(params, b0["i"], xx, None, b0["m"])
+        graph_live = jnp.sign(b0["m"].sum(-1, keepdims=True))
+        return jnp.abs(b0["y"] - (y_hat * graph_live).sum(-2)).mean()
+
+    def kern_loss(xx):
+        return loss_fn(kp, {**b0, "x": xx})
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(lax_loss))(b0["x"])
+    l_k, g_k = jax.jit(jax.value_and_grad(kern_loss))(b0["x"])
+    scale = float(jnp.abs(g_ref).max()) + 1e-12
+    g_err = float(jnp.abs(g_k - g_ref).max()) / scale
+    l_err = abs(float(l_k) - float(l_ref)) / (abs(float(l_ref)) + 1e-12)
+    if g_err > 5e-2 or l_err > 1e-2:
+        raise RuntimeError(
+            f"kernel train path failed parity gate: grad rel err {g_err:.2e},"
+            f" loss rel err {l_err:.2e}"
+        )
+
     tx = optax.adam(5e-4)
     opt_state = tx.init(kp)
 

@@ -120,7 +120,10 @@ def main():
         rdt = jnp.float32 if rd == "f32" else jnp.bfloat16
         from sake_tpu.kernels.resid_ef import _EDGE_RESIDS, _NODE_RESIDS
         lowp = None
-        if rd == "bf16x":  # everything except the geometry planes
+        if rd == "bf16":  # TRUE all-bf16 residuals incl. geometry planes
+            # (measured to FAIL the force gate — kept probeable on purpose)
+            lowp = set(_EDGE_RESIDS + _NODE_RESIDS)
+        elif rd == "bf16x":  # everything except the geometry planes (r, t)
             lowp = set(_EDGE_RESIDS + _NODE_RESIDS) - {"r", "t"}
         ch = int(kv.get("ch", 512))
         pdt = jnp.bfloat16 if kv.get("pdtype") == "bf16" else None

@@ -94,10 +94,12 @@ def _edge_block_vs(
     return h_e, logits, d, r
 
 
-def _pass2_accumulate(p, mm, carry, *, h_e, att, d, r, n_heads):
+def _pass2_accumulate(p, mm, carry, *, h_e, att, d, r, n_heads, em=None):
     """Accumulate attention-weighted aggregates for one sender block into
     ``carry = (agg_node, pooled (3, B, Ni, C))`` (the linear-in-field
-    consumers of the dense layer; see ``layers.DenseSAKELayer``)."""
+    consumers of the dense layer; see ``layers.DenseSAKELayer``).
+    ``em``: optional (B, Ni, bs, 1) edge mask — zeroes the spatial
+    coefficients of masked pairs (the dense layer's ``coeff * mask``)."""
     agg_node, pooled = carry
     B, Ni, bs, H = h_e.shape
     K = n_heads
@@ -115,6 +117,8 @@ def _pass2_accumulate(p, mm, carry, *, h_e, att, d, r, n_heads):
         a_k = (h_e * att_k).sum(axis=2)
         agg_node = agg_node + mm(a_k.reshape(B * Ni, H), w_nagg_hk[:, k, :])
     coeff = jnp.tanh(coeff_pre)
+    if em is not None:
+        coeff = coeff * em
     inv_r = 1.0 / (r + 1e-5)
     pooled = pooled + jnp.stack(
         [(coeff * (d[k2] * inv_r)).sum(axis=2) for k2 in range(3)]
@@ -329,6 +333,7 @@ def atom_sharded_forward(
     n_heads: int = 4,
     update: Sequence[bool] | bool = True,
     block_size: int = 128,
+    node_mask: Optional[jax.Array] = None,  # (B, N) 1 = real atom
     matmul_dtype=None,
 ):
     """Atom-sharded model forward: ``(out, x_out)`` sharded like inputs."""
@@ -339,12 +344,16 @@ def atom_sharded_forward(
     assert N % n_dev == 0, "atom count must divide the mesh axis"
     n_local = N // n_dev
 
-    def local_fn(h_loc, x_loc):
+    def local_fn(h_loc, x_loc, m_loc):
         mm = _make_mm(matmul_dtype)
         offset = jax.lax.axis_index(axis) * n_local
         hc = _embed(p, h_loc, mm)  # (B, n_local, H)
         xp = [x_loc[..., k : k + 1] for k in range(3)]
         vp = None
+        mask_loc = None
+        if m_loc is not None:
+            m_all = jax.lax.all_gather(m_loc, axis, axis=1, tiled=True)
+            mask_loc = m_loc[:, :, None] * m_all[:, None, :]  # (B, nl, N)
         for lp, upd in zip(p.layers, updates):
             h_all = jax.lax.all_gather(hc, axis, axis=1, tiled=True)
             xp_all = [
@@ -353,20 +362,78 @@ def atom_sharded_forward(
             hc, xp, vp = blocked_layer_forward(
                 lp, h_all, xp_all, vp,
                 n_heads=n_heads, update=upd, block_size=block_size,
-                matmul_dtype=matmul_dtype,
+                matmul_dtype=matmul_dtype, mask=mask_loc,
                 receiver_offset=offset, n_receivers=n_local,
             )
         out = _readout(p, hc, mm)
         return out, jnp.concatenate(xp, axis=-1)
 
+    if node_mask is None:
+        fn = shard_map(
+            lambda h_, x_: local_fn(h_, x_, None),
+            mesh=mesh,
+            in_specs=(P(None, axis, None), P(None, axis, None)),
+            out_specs=(P(None, axis, None), P(None, axis, None)),
+            check_vma=False,
+        )
+        return fn(h, x)
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis, None)),
+        in_specs=(
+            P(None, axis, None), P(None, axis, None), P(None, axis)
+        ),
         out_specs=(P(None, axis, None), P(None, axis, None)),
         check_vma=False,
     )
-    return fn(h, x)
+    return fn(h, x, node_mask)
+
+
+# Above this many atoms the all-gather formulation's O(n_local * N)
+# gathered edge working set stops fitting comfortably in HBM alongside
+# activations; the ring keeps O(n_local^2) blocks and neighbor-only ICI
+# traffic. The crossover is memory- not latency-driven, so it scales with
+# atom count only.
+RING_CROSSOVER_ATOMS = 4096
+
+
+def sharded_model_forward(
+    p: ModelParams,
+    h: jax.Array,
+    x: jax.Array,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    mode: str = "auto",
+    n_heads: int = 4,
+    update: Sequence[bool] | bool = True,
+    block_size: int = 128,
+    node_mask: Optional[jax.Array] = None,
+    matmul_dtype=None,
+):
+    """Atom-sharded forward with automatic gather-vs-ring selection.
+
+    ``mode``: ``'gather'`` (all-gather senders per layer — latency-optimal
+    for moderate N), ``'ring'`` (ppermute sender exchange — memory/
+    bandwidth-optimal for huge N), or ``'auto'`` (ring when
+    ``N > RING_CROSSOVER_ATOMS``). Both are oracle-exact vs the dense
+    model (tests/test_bigsys.py) and support ``node_mask``.
+    """
+    N = h.shape[1]
+    if mode == "auto":
+        mode = "ring" if N > RING_CROSSOVER_ATOMS else "gather"
+    if mode == "gather":
+        return atom_sharded_forward(
+            p, h, x, mesh, axis=axis, n_heads=n_heads, update=update,
+            block_size=block_size, node_mask=node_mask,
+            matmul_dtype=matmul_dtype,
+        )
+    if mode == "ring":
+        return ring_atom_sharded_forward(
+            p, h, x, mesh, axis=axis, n_heads=n_heads, update=update,
+            node_mask=node_mask, matmul_dtype=matmul_dtype,
+        )
+    raise ValueError(f"unknown sharded mode {mode!r}")
 
 
 def dp_atom_sharded_loss_step(
@@ -465,6 +532,7 @@ def ring_layer_forward(
     n_shards: int,
     n_heads: int,
     update: bool,
+    m_loc: Optional[jax.Array] = None,  # (B, n_local, 1) node-mask plane
     matmul_dtype=None,
 ):
     """One dense SAKE layer with senders ring-rotated over ``axis``.
@@ -480,7 +548,13 @@ def ring_layer_forward(
     (max, sum) statistics, pass 2 the attention-weighted aggregates.
     Peak activation memory is O(n_local^2) vs the gather path's
     O(n_local * N); comm volume is ~2x an all-gather, riding ICI
-    neighbor links only. Unmasked (uniform large systems).
+    neighbor links only.
+
+    ``m_loc`` (node-mask plane, 1 = real atom) enables padded systems:
+    sender masks travel the ring with the node halves; masked edges get
+    -INF logits, attention/coefficients are zeroed on them, and the
+    mean divisors use live-sender counts — matching the masked dense
+    layer (including the fully-padded-receiver 0/0 guard).
     """
     B, n_local, F = h_loc.shape
     K = n_heads
@@ -508,21 +582,29 @@ def ring_layer_forward(
 
     # ---- pass 1: ring online-softmax statistics --------------------------
     def ring_pass(body, carry):
-        blk = (a_j, o_j, tuple(x_loc))
+        blk = (a_j, o_j, tuple(x_loc)) + (
+            (m_loc,) if m_loc is not None else ()
+        )
         for t in range(n_shards):
             carry = body(carry, blk, t)
             if t < n_shards - 1:
                 blk = rotate(blk)
         return carry
 
+    def edge_mask_of(m_jb):
+        # (B, Ni, bs, 1): receiver plane x visiting sender plane
+        return m_loc[:, :, None, :] * m_jb[:, None, :, 0][..., None]
+
     def pass1(carry, blk, t):
         m, z = carry
-        a_jb, o_jb, x_jb = blk
+        a_jb, o_jb, x_jb = blk[:3]
         _, logits, _, _ = _edge_block_vs(
             p, mm, a_i=a_i, o_i=o_i, x_recv=x_loc, i_ids=i_ids,
             a_jb=a_jb, o_jb=o_jb, x_jb=list(x_jb), j_ids=visiting_ids(t),
             n_heads=K,
         )
+        if m_loc is not None:
+            logits = logits - INF * (1.0 - edge_mask_of(blk[3]))
         m_new = jnp.maximum(m, logits.max(axis=2))
         z = z * jnp.exp(m - m_new) + jnp.exp(
             logits - m_new[:, :, None, :]
@@ -535,15 +617,23 @@ def ring_layer_forward(
 
     # ---- pass 2: attention-weighted accumulation -------------------------
     def pass2(carry, blk, t):
-        a_jb, o_jb, x_jb = blk
+        a_jb, o_jb, x_jb = blk[:3]
         h_e, logits, d, r = _edge_block_vs(
             p, mm, a_i=a_i, o_i=o_i, x_recv=x_loc, i_ids=i_ids,
             a_jb=a_jb, o_jb=o_jb, x_jb=list(x_jb), j_ids=visiting_ids(t),
             n_heads=K,
         )
+        em = None
+        if m_loc is not None:
+            em = edge_mask_of(blk[3])
+            logits = logits - INF * (1.0 - em)
         att = jnp.exp(logits - m[:, :, None, :]) / z[:, :, None, :]
+        if em is not None:
+            # fully-masked receivers have garbage (finite-max) softmax
+            # stats — zero their attention exactly (dense 0/0 guard)
+            att = att * em
         return _pass2_accumulate(
-            p, mm, carry, h_e=h_e, att=att, d=d, r=r, n_heads=K
+            p, mm, carry, h_e=h_e, att=att, d=d, r=r, n_heads=K, em=em
         )
 
     agg0 = jnp.zeros((B * n_local, p.w_node0.shape[-1]))
@@ -551,8 +641,17 @@ def ring_layer_forward(
     agg_node, pooled = ring_pass(pass2, (agg0, pooled0))
 
     # ---- finalize (identical to the dense layer's node/velocity update) --
-    N_total = n_shards * n_local
-    norm_pool = [pooled[k] / float(N_total) for k in range(3)]
+    if m_loc is not None:
+        # live-sender count incl. the self pair (dense: mask4.sum(-2))
+        total_live = jax.lax.psum(m_loc.sum(axis=1, keepdims=True), axis)
+        count = m_loc * total_live  # (B, n_local, 1)
+        pool_denom = count + 1e-8
+        dv_denom_m = count + 1e-10
+    else:
+        N_total = n_shards * n_local
+        pool_denom = float(N_total)
+        dv_denom_m = float(N_total)
+    norm_pool = [pooled[k] / pool_denom for k in range(3)]
     pool_sq = norm_pool[0] ** 2 + norm_pool[1] ** 2 + norm_pool[2] ** 2
     h_comb = _silu(
         mm(_silu(mm(pool_sq.reshape(B * n_local, C), p.w_post0) + p.b_post0),
@@ -573,7 +672,7 @@ def ring_layer_forward(
 
     delta_planes = [
         mm(pooled[k].reshape(B * n_local, C), p.w_vmix).reshape(B, n_local, 1)
-        / float(N_total)
+        / dv_denom_m
         for k in range(3)
     ]
     if v_loc is not None:
@@ -597,6 +696,7 @@ def ring_atom_sharded_forward(
     axis: str = "data",
     n_heads: int = 4,
     update: Sequence[bool] | bool = True,
+    node_mask: Optional[jax.Array] = None,  # (B, N) 1 = real atom
     matmul_dtype=None,
 ):
     """Atom-sharded model forward with ring-``ppermute`` sender exchange.
@@ -611,25 +711,37 @@ def ring_atom_sharded_forward(
     B, N, _ = h.shape
     assert N % n_dev == 0, "atom count must divide the mesh axis"
 
-    def local_fn(h_loc, x_loc):
+    def local_fn(h_loc, x_loc, m_loc):
         mm = _make_mm(matmul_dtype)
         hc = _embed(p, h_loc, mm)
         xp = [x_loc[..., k : k + 1] for k in range(3)]
         vp = None
+        mp = m_loc[..., None] if m_loc is not None else None
         for lp, upd in zip(p.layers, updates):
             hc, xp, vp = ring_layer_forward(
                 lp, hc, xp, vp,
                 axis=axis, n_shards=n_dev, n_heads=n_heads, update=upd,
-                matmul_dtype=matmul_dtype,
+                m_loc=mp, matmul_dtype=matmul_dtype,
             )
         out = _readout(p, hc, mm)
         return out, jnp.concatenate(xp, axis=-1)
 
+    if node_mask is None:
+        fn = shard_map(
+            lambda h_, x_: local_fn(h_, x_, None),
+            mesh=mesh,
+            in_specs=(P(None, axis, None), P(None, axis, None)),
+            out_specs=(P(None, axis, None), P(None, axis, None)),
+            check_vma=False,
+        )
+        return fn(h, x)
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis, None)),
+        in_specs=(
+            P(None, axis, None), P(None, axis, None), P(None, axis)
+        ),
         out_specs=(P(None, axis, None), P(None, axis, None)),
         check_vma=False,
     )
-    return fn(h, x)
+    return fn(h, x, node_mask)

@@ -55,19 +55,68 @@ def synthesize_qm9(n_samples: int = 4096, seed: int = 0) -> QM9Data:
     return QM9Data(charges=charges, x=x, y=y.astype(np.float32))
 
 
+def atomization_offsets(charges: np.ndarray) -> np.ndarray:
+    """Per-molecule sum of element reference energies ``(B, 1)`` — the
+    thermochemical offset subtracted from total-energy targets when the
+    dataset ships no precomputed ``<target>_thermo`` arrays."""
+    table = np.zeros(max(ATOM_REF_ENERGY) + 1, np.float64)
+    for z, e in ATOM_REF_ENERGY.items():
+        table[z] = e
+    return table[charges].sum(axis=-1, keepdims=True).astype(np.float32)
+
+
+# energy-like targets where atomization offsets apply when no thermo
+# column exists (reference subtracts shipped per-target thermo arrays,
+# scripts/qm9_full/run.py:15-18; U0/U/H/G are the total-energy ones)
+_ENERGY_TARGETS = ("U0", "U", "H", "G")
+
+
 def load_qm9(
-    data_dir: str | None = None, n_samples: int = 4096, seed: int = 0
+    data_dir: str | None = None,
+    n_samples: int = 4096,
+    seed: int = 0,
+    target: "str | int | None" = None,
+    subtract_thermo: bool = True,
 ) -> QM9Data:
-    """Load ``qm9.npz`` (keys i/x/y) from ``data_dir`` or synthesize."""
-    path = os.path.join(data_dir or ".", "qm9.npz")
-    if data_dir and os.path.exists(path):
-        z = np.load(path)
-        return QM9Data(
-            charges=np.asarray(z["i"], np.int32),
-            x=np.asarray(z["x"], np.float32),
-            y=np.asarray(z["y"], np.float32).reshape(len(z["x"]), -1),
-        )
-    return synthesize_qm9(n_samples, seed)
+    """Load QM9 from ``data_dir`` or synthesize.
+
+    Two on-disk formats are accepted:
+
+    - ``qm9.npz`` with keys ``i``/``x``/``y`` (the qm9_tpu release file,
+      ``scripts/qm9_tpu/run.sh:1-7``); an int ``target`` selects a column
+      of a multi-target ``y``.
+    - ``train.npz``-style with ``charges``/``positions`` and NAMED target
+      keys (``scripts/qm9_full/run.py:10-18``); a str ``target`` selects
+      the key, and ``<target>_thermo`` is subtracted when present
+      (``run.py:15-18``). When absent and the target is a total energy
+      (U0/U/H/G), per-element reference energies (``ATOM_REF_ENERGY``)
+      are subtracted instead.
+    """
+    for fname in ("qm9.npz", "train.npz"):
+        path = os.path.join(data_dir or ".", fname)
+        if data_dir and os.path.exists(path):
+            z = np.load(path)
+            break
+    else:
+        return synthesize_qm9(n_samples, seed)
+
+    charges = np.asarray(
+        z["i"] if "i" in z else z["charges"], np.int32
+    )
+    x = np.asarray(z["x"] if "x" in z else z["positions"], np.float32)
+    if isinstance(target, str):
+        y = np.asarray(z[target], np.float32).reshape(len(x), -1)
+        if subtract_thermo:
+            tkey = target + "_thermo"
+            if tkey in z:
+                y = y - np.asarray(z[tkey], np.float32).reshape(len(x), -1)
+            elif target in _ENERGY_TARGETS:
+                y = y - atomization_offsets(charges)
+    else:
+        y = np.asarray(z["y"], np.float32).reshape(len(x), -1)
+        if target is not None:
+            y = y[:, int(target) : int(target) + 1]
+    return QM9Data(charges=charges, x=x, y=y)
 
 
 def dimenet_split(n_total: int, seed: int = 42, n_train=110_000, n_valid=10_000):

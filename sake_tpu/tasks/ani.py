@@ -222,8 +222,10 @@ def run(cfg: ANIConfig, logger: Optional[MetricLogger] = None):
         b = _prep_batch(bucket, n_classes)
         nb = len(b["x"])
         if cfg.use_kernel_backbone and nb % cfg.kernel_batch_tile:
-            # pad the eval batch with zero-masked copies of row 0 up to a
-            # batch-tile multiple; predictions for the pads are dropped
+            # pad the eval batch with duplicate copies of row 0 (full
+            # rows, row-0 masks and all) up to a batch-tile multiple;
+            # correctness comes from dropping the pads' predictions via
+            # the [:nb] slice below, not from masking
             n_pad = cfg.kernel_batch_tile - nb % cfg.kernel_batch_tile
             b = jax.tree.map(
                 lambda a: jnp.concatenate(

@@ -46,6 +46,14 @@ class OC20Config:
     use_kernel_backbone: bool = False
     kernel_batch_tile: int = 4
     kernel_interpret: bool = False
+    # Large-system execution (bigsys): blocked online-softmax layers on a
+    # single device; on a multi-device mesh, atom sharding with automatic
+    # gather-vs-ring sender exchange (bigsys.sharded_model_forward,
+    # crossover at RING_CROSSOVER_ATOMS). For catalyst systems too big
+    # for the dense O(N^2) layer.
+    use_bigsys: bool = False
+    bigsys_mode: str = "auto"  # auto | gather | ring
+    bigsys_block: int = 32
 
 
 def run(cfg: OC20Config, logger: Optional[MetricLogger] = None):
@@ -101,6 +109,35 @@ def run(cfg: OC20Config, logger: Optional[MetricLogger] = None):
             b, n, f = h_fin.shape
             z = jax.nn.silu(h_fin.reshape(b * n, f) @ p.w_out0 + p.b_out0)
             out = (z @ p.w_out1 + p.b_out1).reshape(b, n, -1)
+            return (out[..., 0] * node_mask).sum(-1, keepdims=True)
+
+    elif cfg.use_bigsys:
+        from sake_tpu.bigsys import blocked_model_forward, sharded_model_forward
+        from sake_tpu.kernels import model_params_from_linen
+        from sake_tpu.parallel import make_mesh
+
+        params = model_params_from_linen(params["params"]["backbone"])
+        n_dev = len(jax.devices())
+        mesh = make_mesh() if n_dev > 1 else None
+
+        def forward(p, species, x, edge_mask, node_mask):
+            n = x.shape[1]
+            if mesh is not None and n % n_dev == 0:
+                out, _ = sharded_model_forward(
+                    p, species, x, mesh, mode=cfg.bigsys_mode,
+                    n_heads=cfg.n_heads, update=cfg.update,
+                    block_size=min(cfg.bigsys_block, n // n_dev),
+                    node_mask=node_mask,
+                )
+            else:
+                bs_ = cfg.bigsys_block
+                while n % bs_:
+                    bs_ //= 2
+                out, _, _ = blocked_model_forward(
+                    p, species, x,
+                    n_heads=cfg.n_heads, update=cfg.update,
+                    block_size=max(bs_, 1), mask=edge_mask,
+                )
             return (out[..., 0] * node_mask).sum(-1, keepdims=True)
 
     else:

@@ -49,13 +49,20 @@ class QM9Config:
     epochs_per_block: int = 1
     n_samples: int = 4096  # synthetic-size fallback
     data_dir: Optional[str] = None
+    # per-target selection (reference: ``python run.py <target>``,
+    # qm9_full/run.py:9-18): str key for named-target npz files, int
+    # column index for multi-column ``y``; thermo offsets subtracted at
+    # ingestion (data/qm9.py).
+    target: Union[str, int, None] = None
+    subtract_thermo: bool = True
     data_parallel: bool = True
     max_notfinite: int = 10
     seed: int = 2666
     # Pallas train-kernel backbone (first-order, masked): the residual-
     # streaming forward + hand-written backward with in-kernel parameter
     # gradients (kernels/resid_ef.make_hidden_fn). Measured 2.4x the lax
-    # epoch on v5e (bench_train.py). Single-device path only.
+    # epoch on v5e (bench_train.py). Composes with data_parallel (the
+    # custom-VJP kernel runs inside the shard_map'd scanned epoch).
     use_kernel_backbone: bool = False
     kernel_batch_tile: int = 4
     kernel_interpret: bool = False  # CPU-backend testing
@@ -87,7 +94,10 @@ class QM9Model(nn.Module):
 
 def run(cfg: QM9Config, logger: Optional[MetricLogger] = None):
     logger = logger or MetricLogger()
-    data = load_qm9(cfg.data_dir, cfg.n_samples, seed=cfg.seed)
+    data = load_qm9(
+        cfg.data_dir, cfg.n_samples, seed=cfg.seed,
+        target=cfg.target, subtract_thermo=cfg.subtract_thermo,
+    )
     tr_idx, vl_idx, te_idx = dimenet_split(len(data.x))
 
     n_classes = int(data.charges.max()) + 1
@@ -176,13 +186,19 @@ def run(cfg: QM9Config, logger: Optional[MetricLogger] = None):
     rng = np.random.RandomState(cfg.seed)
     t0 = time.time()
 
-    if cfg.use_kernel_backbone and cfg.batch_size % cfg.kernel_batch_tile:
-        raise ValueError("batch_size must be divisible by kernel_batch_tile")
-    if (
-        cfg.data_parallel
-        and not cfg.use_kernel_backbone
-        and len(jax.devices()) > 1
-    ):
+    n_dev = len(jax.devices())
+    if cfg.use_kernel_backbone:
+        per_dev = cfg.batch_size // (
+            n_dev if cfg.data_parallel and n_dev > 1 else 1
+        )
+        if per_dev % cfg.kernel_batch_tile:
+            raise ValueError(
+                "per-device batch must be divisible by kernel_batch_tile"
+            )
+    if cfg.data_parallel and n_dev > 1:
+        # kernel backbone + DP compose (custom-VJP under shard_map is
+        # bit-exact vs single device — tests/test_parallel.py): the same
+        # loss_fn runs inside the sharded scanned epoch either way.
         mesh = make_mesh()
         epoch_fn = jax.jit(make_dp_epoch(loss_fn, mesh), donate_argnums=0)
         state = replicate_state(state, mesh)
@@ -223,17 +239,31 @@ def run(cfg: QM9Config, logger: Optional[MetricLogger] = None):
     infer = jax.jit(forward)
 
     def predict(split):
+        # FULL split: the ragged tail batch is padded with duplicate rows
+        # (one static shape, no recompile) whose predictions are sliced
+        # off — the reference evaluates every sample (qm9_full/eval.py).
         preds = []
         bs = min(max(cfg.batch_size, 64), len(split["x"]))
         if cfg.use_kernel_backbone:
             bs -= bs % cfg.kernel_batch_tile
-        n = len(split["x"]) // bs * bs
+        n = len(split["x"])
         for s in range(0, n, bs):
             sl = jax.tree.map(lambda a: a[s : s + bs], split)
+            nb = len(sl["x"])
+            if nb < bs:
+                sl = jax.tree.map(
+                    lambda a: jnp.concatenate(
+                        [a, jnp.broadcast_to(a[:1], (bs - nb, *a.shape[1:]))]
+                    ),
+                    sl,
+                )
             preds.append(
-                infer(params_eval, sl["species"], sl["x"], sl["edge_mask"], sl["node_mask"])
+                infer(
+                    params_eval, sl["species"], sl["x"], sl["edge_mask"],
+                    sl["node_mask"],
+                )[:nb]
             )
-        return jnp.concatenate(preds), jax.tree.map(lambda a: a[:n], split)["y"]
+        return jnp.concatenate(preds), split["y"]
 
     results = {}
     for name, split in (("valid", valid), ("test", test)):

@@ -154,3 +154,93 @@ def test_ring_atom_sharded_forces(setup):
     g_r = jax.jit(jax.grad(e_ring))(x)
     g_d = jax.grad(e_dense)(x)
     np.testing.assert_allclose(g_r, g_d, rtol=2e-3, atol=2e-4)
+
+
+def test_ring_atom_sharded_masked(setup):
+    """Masked ring (sender masks travel the ring) must equal the masked
+    dense model, including a fully-padded shard's worth of atoms and the
+    0/0 fully-masked-receiver guard."""
+    from sake_tpu.bigsys import ring_atom_sharded_forward
+
+    kp, h, x = setup
+    rng = np.random.RandomState(5)
+    B, N, _ = h.shape
+    node_mask = (rng.rand(B, N) > 0.3).astype(np.float32)
+    node_mask[0, N // 2 :] = 0.0  # a long fully-padded tail
+    node_mask = jnp.asarray(node_mask)
+    mask = node_mask[:, :, None] * node_mask[:, None, :]
+
+    out_d, x_d, _ = model_forward(kp, h, x, mask=mask)
+    mesh = make_mesh()
+    out_s, x_s = jax.jit(
+        lambda h_, x_, m_: ring_atom_sharded_forward(
+            kp, h_, x_, mesh, node_mask=m_
+        )
+    )(h, x, node_mask)
+    live = np.asarray(node_mask, bool)
+    np.testing.assert_allclose(
+        np.asarray(out_s)[live], np.asarray(out_d)[live], **TOL
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_s)[live], np.asarray(x_d)[live], **TOL
+    )
+
+
+def test_ring_atom_sharded_masked_forces(setup):
+    """Forces through the MASKED ring match the masked dense gradient on
+    live atoms."""
+    from sake_tpu.bigsys import ring_atom_sharded_forward
+
+    kp, h, x = setup
+    rng = np.random.RandomState(6)
+    B, N, _ = h.shape
+    node_mask = jnp.asarray(
+        (rng.rand(B, N) > 0.25).astype(np.float32)
+    )
+    mask = node_mask[:, :, None] * node_mask[:, None, :]
+    mesh = make_mesh()
+
+    def e_ring(x_):
+        out, _ = ring_atom_sharded_forward(
+            kp, h, x_, mesh, node_mask=node_mask
+        )
+        return (out[..., 0] * node_mask).sum()
+
+    def e_dense(x_):
+        out, _, _ = model_forward(kp, h, x_, mask=mask)
+        return (out[..., 0] * node_mask).sum()
+
+    g_r = jax.jit(jax.grad(e_ring))(x)
+    g_d = jax.grad(e_dense)(x)
+    live = np.asarray(node_mask, bool)
+    np.testing.assert_allclose(
+        np.asarray(g_r)[live], np.asarray(g_d)[live], rtol=2e-3, atol=2e-4
+    )
+
+
+def test_sharded_selector_gather_and_masked(setup):
+    """sharded_model_forward: 'auto' picks gather at small N; the masked
+    gather path must equal the masked dense model on live atoms."""
+    from sake_tpu.bigsys import sharded_model_forward, RING_CROSSOVER_ATOMS
+
+    kp, h, x = setup
+    B, N, _ = h.shape
+    assert N <= RING_CROSSOVER_ATOMS  # auto -> gather here
+    rng = np.random.RandomState(9)
+    node_mask = jnp.asarray((rng.rand(B, N) > 0.3).astype(np.float32))
+    mask = node_mask[:, :, None] * node_mask[:, None, :]
+    mesh = make_mesh()
+
+    out_d, x_d, _ = model_forward(kp, h, x, mask=mask)
+    out_s, x_s = jax.jit(
+        lambda h_, x_, m_: sharded_model_forward(
+            kp, h_, x_, mesh, mode="auto", block_size=8, node_mask=m_
+        )
+    )(h, x, node_mask)
+    live = np.asarray(node_mask, bool)
+    np.testing.assert_allclose(
+        np.asarray(out_s)[live], np.asarray(out_d)[live], **TOL
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_s)[live], np.asarray(x_d)[live], **TOL
+    )

@@ -131,3 +131,24 @@ def test_oc20_kernel_backbone():
         )
     )
     _finite(results)
+
+
+def test_oc20_bigsys_forward():
+    """OC20 with the large-system (bigsys) execution path: blocked
+    online-softmax layers single-device, sharded gather/ring selection on
+    a mesh (bigsys.sharded_model_forward)."""
+    from sake_tpu.tasks.oc20 import OC20Config, run
+
+    _, results = run(
+        OC20Config(
+            hidden_features=8,
+            depth=2,
+            n_epochs=1,
+            n_samples=32,
+            batch_size=4,
+            max_buckets=2,
+            use_bigsys=True,
+            bigsys_block=8,
+        )
+    )
+    _finite(results)
