@@ -1319,11 +1319,73 @@ def make_hidden_fn(
         leaf_grads = dict(zip(_LEAF_NAMES, outs[4:]))
         return dh0, dxp, leaf_grads
 
+    def _fwd_infer(params, h, x, mask):
+        """Forward WITHOUT residual/boundary streaming — the jitted
+        inference path (``jax.jit(forward)`` in the tasks) otherwise pays
+        ~1.1 MB/molecule/layer of dead HBM traffic for residuals no
+        backward will read."""
+        c = _prep(params, h, x, mask)
+        B, N, F, depth = c["B"], c["N"], c["F"], c["depth"]
+        leaves = c["leaves"]
+        has_mask = c["mask_flat"] is not None
+        layer_n_real = None if has_mask else c["n_real"]
+
+        def infer_kernel(*refs):
+            x0r, x1r, x2r, hr, updr, err, etr = refs[:7]
+            lrefs = refs[7 : 7 + len(leaves)]
+            o = 7 + len(leaves)
+            m4 = None
+            if has_mask:
+                m4 = refs[o][:].reshape(BT, N, N, 1)
+                o += 1
+            hfin = refs[o]
+            sh, sx0, sx1, sx2, sv0, sv1, sv2 = refs[o + 1 :]
+            sx, sv = (sx0, sx1, sx2), (sv0, sv1, sv2)
+            d = pl.program_id(1)
+
+            @pl.when(d == 0)
+            def _():
+                sh[:] = hr[:]
+                for k, xr in enumerate((x0r, x1r, x2r)):
+                    sx[k][:] = xr[:]
+                    sv[k][:] = jnp.zeros_like(xr[:])
+
+            h2, xp2, vp2, _ = layer_fwd_resid(
+                _read_p(lrefs), sh[:], [sx[k][:] for k in range(3)],
+                [sv[k][:] for k in range(3)], updr[d, 0],
+                e_rep=err[:], e_tile=etr[:], mm=mm, mm_edge=mm_edge,
+                n_real=layer_n_real, mask=m4,
+            )
+            sh[:] = h2
+            for k in range(3):
+                sx[k][:] = xp2[k]
+                sv[k][:] = vp2[k]
+            hfin[:] = h2
+
+        h_fin = pl.pallas_call(
+            infer_kernel,
+            grid=c["grid"],
+            out_shape=jax.ShapeDtypeStruct((B, N, F), jnp.float32),
+            in_specs=(
+                [_bspec((B, N, 1), BT)] * 3
+                + [_bspec((B, N, F), BT), _flag_spec(depth)]
+                + [_full_spec(c["e_rep"]), _full_spec(c["e_tile"])]
+                + _leaf_specs(leaves)
+                + ([_bspec((B, N * N, 1), BT)] if has_mask else [])
+            ),
+            out_specs=_bspec((B, N, F), BT),
+            scratch_shapes=[pltpu.VMEM((BT, N, F), jnp.float32)]
+            + [pltpu.VMEM((BT, N, 1), jnp.float32)] * 6,
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(*c["x_planes"], c["h0"], c["upd_flags"], c["e_rep"], c["e_tile"],
+          *leaves, *([c["mask_flat"]] if has_mask else []))
+        n_real = c["n_real"]
+        return h_fin[:, :n_real] if n_real is not None else h_fin
+
     @jax.custom_vjp
     def hidden(params, h, x, mask):
-        _, _, h_fin, _ = _fwd(params, h, x, mask)
-        n_real = h.shape[1] if pad_atoms and h.shape[1] % 8 else None
-        return h_fin[:, :n_real] if n_real is not None else h_fin
+        return _fwd_infer(params, h, x, mask)
 
     def hidden_fwd(params, h, x, mask):
         c, boundary, h_fin, resid_arrays = _fwd(params, h, x, mask)
