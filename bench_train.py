@@ -208,6 +208,129 @@ def bench_kernel(i, x, m, y, batch: int, repeats: int = 3) -> float:
     return total / float(np.median(times))
 
 
+def bench_kernel_bucketed(i, x, m, y, batch: int, repeats: int = 3) -> float:
+    """The kernel path with SIZE-BUCKETED batches: molecules grouped by
+    atom count padded to the next multiple of 8 (the reference's own ANI
+    bucketing, ``scripts/ani/data.py:37-48``, applied to QM9). Identical
+    per-sample math — smaller pads cut the O(N^2) edge grid ~2x on
+    QM9's 5-29-atom size distribution. One scanned program per bucket.
+    """
+    import optax
+
+    from sake_tpu.kernels import model_params_from_linen
+    from sake_tpu.kernels.resid_ef import make_hidden_fn
+    from sake_tpu.models import SAKEModel
+
+    model = SAKEModel(hidden_features=64, out_features=1, depth=6)
+    params = jax.jit(model.init)(jax.random.PRNGKey(2666), i[0], x[0])
+    kp = model_params_from_linen(params)
+
+    n_dev = jax.local_device_count()
+    bs = batch * n_dev
+    sizes = np.asarray(m.sum(axis=(-1, -2)) ** 0.5).round().astype(int)
+    pad_to = np.maximum(8, (sizes + 7) // 8 * 8)
+
+    hidden = make_hidden_fn(
+        batch_tile=4,
+        precision=None,
+        edge_matmul_dtype=jnp.bfloat16,
+        resid_dtype=jnp.bfloat16,
+        pad_atoms=True,
+    )
+
+    # group -> stacked (n_batches, bs, n_pad, ...) arrays
+    groups = []
+    total = 0
+    for n_pad in sorted(set(pad_to.tolist())):
+        idx = np.where(pad_to == n_pad)[0]
+        nb = len(idx) // bs
+        if nb == 0:
+            continue
+        idx = idx[: nb * bs]
+        total += len(idx)
+        sl = lambda a: jnp.asarray(
+            np.asarray(a)[idx][:, :n_pad].reshape(
+                nb, bs, n_pad, *a.shape[2:]
+            )
+        )
+        groups.append(
+            {
+                "i": sl(i),
+                "x": sl(x),
+                "m": jnp.asarray(
+                    np.asarray(m)[idx][:, :n_pad, :n_pad].reshape(
+                        nb, bs, n_pad, n_pad
+                    )
+                ),
+                "y": jnp.asarray(np.asarray(y)[idx].reshape(nb, bs, -1)),
+                "n_pad": n_pad,
+            }
+        )
+
+    def loss_fn(kp_, b):
+        h_fin = hidden(kp_, b["i"], b["x"], b["m"])
+        B, N, F = h_fin.shape
+        zz = jax.nn.silu(h_fin.reshape(B * N, F) @ kp_.w_out0 + kp_.b_out0)
+        out = (zz @ kp_.w_out1 + kp_.b_out1).reshape(B, N, -1)
+        graph_live = jnp.sign(b["m"].sum(-1, keepdims=True))
+        y_hat = (out * graph_live).sum(-2)
+        return jnp.abs(b["y"] - y_hat).mean()
+
+    tx = optax.adam(5e-4)
+
+    def step(carry, b):
+        kp_, o_ = carry
+        g = jax.grad(loss_fn)(kp_, b)
+        u, o_ = tx.update(g, o_)
+        return (optax.apply_updates(kp_, u), o_), None
+
+    @jax.jit
+    def scan_group(kp_, o_, batches):
+        (kp_, o_), _ = jax.lax.scan(step, (kp_, o_), batches)
+        return kp_, o_
+
+    def epoch(kp_, o_):
+        for g in groups:
+            kp_, o_ = scan_group(
+                kp_, o_, {k: g[k] for k in ("i", "x", "m", "y")}
+            )
+        return kp_, o_
+
+    # parity gate on the largest bucket's first batch vs the linen model
+    gb = {k: groups[-1][k][0] for k in ("i", "x", "m", "y")}
+
+    def lax_loss(xx):
+        y_hat, _, __ = model.apply(params, gb["i"], xx, None, gb["m"])
+        graph_live = jnp.sign(gb["m"].sum(-1, keepdims=True))
+        return jnp.abs(gb["y"] - (y_hat * graph_live).sum(-2)).mean()
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(lax_loss))(gb["x"])
+    l_k, g_k = jax.jit(
+        jax.value_and_grad(lambda xx: loss_fn(kp, {**gb, "x": xx}))
+    )(gb["x"])
+    g_err = float(jnp.abs(g_k - g_ref).max()) / (
+        float(jnp.abs(g_ref).max()) + 1e-12
+    )
+    if g_err > 5e-2 or abs(float(l_k) - float(l_ref)) > 1e-2 * abs(float(l_ref)):
+        raise RuntimeError(
+            f"bucketed kernel path failed parity gate (grad rel {g_err:.2e})"
+        )
+
+    def force(kp_):
+        return float(np.asarray(jax.tree.leaves(kp_)[0]).ravel()[0])
+
+    o = tx.init(kp)
+    kp2, o2 = epoch(kp, o)  # warmup/compile (one per bucket shape)
+    force(kp2)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        kp2, o2 = epoch(kp2, o2)
+        force(kp2)
+        times.append(time.perf_counter() - t0)
+    return total / float(np.median(times))
+
+
 def bench_sake_tpu(i, x, m, y, batch: int, repeats: int = 3) -> float:
     """This framework's path: scanned shard_map epoch (one dispatch)."""
     import optax
@@ -263,12 +386,17 @@ def main():
     import os
 
     kern_rate = None
+    bucket_rate = None
     if os.environ.get("SAKE_BENCH_TRAIN_KERNEL", "1") != "0":
         try:
             kern_rate = bench_kernel(i, x, m, y, batch)
         except Exception as exc:  # kernel path is optional; report lax
             print(f"# kernel train path failed: {exc!r}", file=sys.stderr)
-    ours = max(lax_rate, kern_rate or 0.0)
+        try:
+            bucket_rate = bench_kernel_bucketed(i, x, m, y, batch)
+        except Exception as exc:
+            print(f"# bucketed kernel path failed: {exc!r}", file=sys.stderr)
+    ours = max(lax_rate, kern_rate or 0.0, bucket_rate or 0.0)
     ref = bench_reference(i, x, m, y, batch)
     print(
         json.dumps(
@@ -278,6 +406,9 @@ def main():
                 "unit": "samples/s/chip",
                 "lax_value": round(lax_rate, 1),
                 "kernel_value": round(kern_rate, 1) if kern_rate else None,
+                "kernel_bucketed_value": (
+                    round(bucket_rate, 1) if bucket_rate else None
+                ),
                 "reference_value": round(ref, 1),
                 "vs_baseline": round(ours / ref, 3),
                 "target_ratio": 10.0,

@@ -73,6 +73,10 @@ class ODEFlow:
 
     @staticmethod
     def jacobian(fn, x, t):
+        """TEST/DIAGNOSTIC helper (reference ``sake/flows.py:38-46``):
+        per-sample exact Jacobian of the dynamics, ``x (B, N, D)`` ->
+        ``(B, N, D, N, D)``. Not part of the training path — the flow
+        uses the Hutchinson ``trace`` estimator."""
         return jax.vmap(lambda xi: jax.jacrev(fn)(xi, t))(x)
 
     @staticmethod
@@ -85,6 +89,11 @@ class ODEFlow:
 
     @staticmethod
     def exact_logdet(fn, x):
+        """TEST/DIAGNOSTIC helper: exact ``slogdet`` of a flow-map
+        Jacobian laid out as ``(..., N, D, N, D)`` (the shape
+        ``jacobian`` above produces per sample). Cross-checks the
+        Hutchinson estimator in tests; O((N*D)^3) — never used in
+        training."""
         res = fn(x)
         dof = res.shape[-1] * res.shape[-2]
         res = res.reshape(*res.shape[:-4], dof, dof)

@@ -13,6 +13,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 _WORKER = r"""
 import os, sys
@@ -63,6 +64,7 @@ print(f"proc {pid} OK loss={float(loss):.4f}")
 """
 
 
+@pytest.mark.slow
 def test_two_process_distributed_dp_step(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

@@ -83,6 +83,7 @@ def test_staged_vjp_with_update_schedule(setup):
     np.testing.assert_allclose(f, -g, **TOL)
 
 
+@pytest.mark.slow
 def test_fused_kernel_interpret(setup):
     """The Pallas kernel in interpreter mode (runs on CPU) matches."""
     model, params, kp, h, x = setup
@@ -99,6 +100,7 @@ def test_fused_kernel_interpret(setup):
     np.testing.assert_allclose(f, -g, **TOL)
 
 
+@pytest.mark.slow
 def test_split_kernels_interpret(setup):
     """The split Pallas ops (edge+attention / coeff+pool) with custom VJPs
     must reproduce E and F in interpreter mode."""
@@ -118,6 +120,7 @@ def test_split_kernels_interpret(setup):
     np.testing.assert_allclose(f, -g, **TOL)
 
 
+@pytest.mark.slow
 def test_merged_kernel_interpret(setup):
     """The merged chunked edge-pipeline op must reproduce E and F."""
     from sake_tpu.kernels.split_ef import merged_energy_forces
@@ -134,6 +137,7 @@ def test_merged_kernel_interpret(setup):
     np.testing.assert_allclose(f, -g, **TOL)
 
 
+@pytest.mark.slow
 def test_depthgrid_kernel_interpret(setup):
     """The round-2 depth-on-grid kernel pair (fwd + remat bwd) must
     reproduce E and F in interpreter mode."""
@@ -151,6 +155,7 @@ def test_depthgrid_kernel_interpret(setup):
     np.testing.assert_allclose(f, -g, **TOL)
 
 
+@pytest.mark.slow
 def test_depthgrid_kernel_update_schedule(setup):
     """Depth-on-grid kernel with a mixed per-layer update schedule."""
     from sake_tpu.kernels.depthgrid_ef import depthgrid_energy_forces
@@ -174,6 +179,7 @@ def test_depthgrid_kernel_update_schedule(setup):
     np.testing.assert_allclose(f, -g, **TOL)
 
 
+@pytest.mark.slow
 def test_kernel_path_second_order_training_grad(setup):
     """grad(loss(E, F), params) through the kernel-path custom VJP must
     equal plain double autodiff of the linen oracle (VERDICT r1 item 5:
@@ -222,6 +228,7 @@ def test_kernel_path_second_order_training_grad(setup):
         )
 
 
+@pytest.mark.slow
 def test_fori_kernel_interpret(setup):
     """The split fori-over-depth kernel pair (resident params) must
     reproduce E and F in interpreter mode."""
@@ -239,6 +246,7 @@ def test_fori_kernel_interpret(setup):
     np.testing.assert_allclose(f, -g, **TOL)
 
 
+@pytest.mark.slow
 def test_fori_kernel_update_schedule(setup):
     from sake_tpu.kernels.fori_ef import fori_energy_forces
 
@@ -261,6 +269,7 @@ def test_fori_kernel_update_schedule(setup):
     np.testing.assert_allclose(f, -g, **TOL)
 
 
+@pytest.mark.slow
 def test_fori_kernel_padded_atoms(setup):
     """Atom padding to a sublane-aligned N (static attention mask on pad
     senders) must not change E or F."""
@@ -339,6 +348,7 @@ def test_resid_backward_matches_vjp(setup, n_real, upd):
         np.testing.assert_allclose(got_dvp[k], want_dvp[k], rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_resid_kernel_interpret(setup):
     """The residual-streaming kernel pair (fwd + hand-written bwd) must
     reproduce E and F in interpreter mode."""
@@ -356,6 +366,7 @@ def test_resid_kernel_interpret(setup):
     np.testing.assert_allclose(f, -g, **TOL)
 
 
+@pytest.mark.slow
 def test_resid_kernel_padded_update_schedule(setup):
     """Residual kernel with atom padding AND a mixed update schedule."""
     from sake_tpu.kernels.resid_ef import resid_energy_forces
@@ -380,6 +391,7 @@ def test_resid_kernel_padded_update_schedule(setup):
     np.testing.assert_allclose(f, -g, **TOL)
 
 
+@pytest.mark.slow
 def test_resid_kernel_chunked(setup):
     """Chunked pipeline (lax.map over batch chunks) must match unchunked."""
     from sake_tpu.kernels.resid_ef import resid_energy_forces
@@ -446,6 +458,7 @@ def test_resid_masked_backward_matches_vjp(setup):
         np.testing.assert_allclose(got_dvp[k], want_dvp[k], rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_resid_kernel_masked_interpret(setup):
     """Masked residual kernel pair vs the masked linen oracle, including a
     fully-padded graph (mask all zero)."""
@@ -535,6 +548,7 @@ def _kernel_readout(kp, h_fin):
 
 
 @pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.slow
 def test_hidden_fn_training_grads(setup, masked):
     """make_hidden_fn: jax.grad of an energy loss through the custom-VJP
     kernel path must match the linen autodiff oracle for EVERY parameter
@@ -585,6 +599,7 @@ def test_hidden_fn_training_grads(setup, masked):
         )
 
 
+@pytest.mark.slow
 def test_resid_kernel_other_widths():
     """Kernel path generality: hidden/head sizes other than the flagship
     (64, 4) — shapes are read off the parameter pytree, nothing baked in."""
@@ -662,6 +677,7 @@ def test_mxu_pooled_layer_matches_vpu(setup, use_mask):
         np.testing.assert_allclose(bv[2][k], bm[2][k], rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_resid_kernel_mxu_interpret(setup):
     """The full residual kernel pair with ``spatial_mode='mxu'`` must
     reproduce E and F (interpret mode)."""
@@ -681,6 +697,7 @@ def test_resid_kernel_mxu_interpret(setup):
     np.testing.assert_allclose(f, -g, **TOL)
 
 
+@pytest.mark.slow
 def test_train2_second_order_grads(setup):
     """Second-order (force-loss) training on the JVP-augmented kernel
     pair: gradients of a force+energy loss w.r.t. every parameter, h and

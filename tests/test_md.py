@@ -4,6 +4,7 @@ approximate energy conservation under velocity Verlet."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sake_tpu.md import learned_integrator_rollout, velocity_verlet_rollout
 from sake_tpu.models import SAKEModel
@@ -49,6 +50,7 @@ def test_learned_integrator_rollout():
     assert float(jnp.abs(xs[1] - xs[0]).max()) > 0
 
 
+@pytest.mark.slow
 def test_velocity_verlet_on_kernel_forces():
     """The Pallas fused E+F kernel plugs into velocity_verlet_rollout as
     the force field; its trajectory must match the lax-driven one."""

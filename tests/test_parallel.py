@@ -115,6 +115,7 @@ def test_dp_grads_average_not_sum(mesh):
     )
 
 
+@pytest.mark.slow
 def test_dp_step_kernel_backbone(mesh):
     """The Pallas train path (custom-VJP hidden fn with in-kernel parameter
     gradients) composes with shard_map data parallelism: the sharded step

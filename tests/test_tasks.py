@@ -92,6 +92,7 @@ def test_workload_smoke(name):
 
 
 
+@pytest.mark.slow
 def test_ani_kernel_backbone():
     """ANI bucketed training on the Pallas train-kernel backbone: one
     kernel compile per bucket edge, masked, end-to-end finite."""
@@ -113,6 +114,7 @@ def test_ani_kernel_backbone():
     _finite(results)
 
 
+@pytest.mark.slow
 def test_oc20_kernel_backbone():
     """OC20 bucketed training on the Pallas train-kernel backbone."""
     from sake_tpu.tasks.oc20 import OC20Config, run
@@ -133,6 +135,7 @@ def test_oc20_kernel_backbone():
     _finite(results)
 
 
+@pytest.mark.slow
 def test_oc20_bigsys_forward():
     """OC20 with the large-system (bigsys) execution path: blocked
     online-softmax layers single-device, sharded gather/ring selection on
