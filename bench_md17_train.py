@@ -28,7 +28,8 @@ import optax
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    aug_bt = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # aug_bt=8 VMEM-OOMs the vjp(jvp(layer)) backward body; 4 fits
+    aug_bt = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
     from sake_tpu.data.md17 import ASPIRIN_Z
     from sake_tpu.kernels import model_params_from_linen

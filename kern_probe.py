@@ -127,14 +127,16 @@ def main():
             lowp = set(_EDGE_RESIDS + _NODE_RESIDS) - {"r", "t"}
         ch = int(kv.get("ch", 512))
         pdt = jnp.bfloat16 if kv.get("pdtype") == "bf16" else None
-        sp = kv.get("sp")  # None | mxu | mxu2
+        sp = kv.get("sp")  # None | mxu | mxuf | mxub
         spdt = DT[kv["spdt"]] if "spdt" in kv else None
         spprec = PREC[kv["spprec"]] if "spprec" in kv else None
+        gp = kv.get("gp", "0") == "1"  # parallel batch grid dim
         ef = jax.jit(
             lambda p, xx: resid_energy_forces(
                 p, h, xx, pad_atoms=pad, resid_dtype=rdt, chunk=ch,
                 resid_lowp=lowp, pool_dtype=pdt, spatial_mode=sp,
-                pool_matmul_dtype=spdt, pool_precision=spprec, **kw
+                pool_matmul_dtype=spdt, pool_precision=spprec,
+                batch_parallel=gp, **kw
             )
         )
     elif impl in ("resid-fwd", "fori-fwd"):

@@ -76,10 +76,18 @@ def _make_mm_prec(matmul_dtype, precision):
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _compiler_params(n_grid_dims: int = 2):
+def _compiler_params(n_grid_dims: int = 2, batch_parallel: bool = False):
+    """``batch_parallel=True`` marks the leading (batch-tile) grid dim
+    ``parallel``: legal whenever the carried scratch state is re-seeded
+    at the innermost dim's step 0 (every kernel here does), and it lets
+    the Mosaic pipeline overlap DMA across batch-tile boundaries that
+    ``arbitrary`` serializes."""
+    sem = ("arbitrary",) * n_grid_dims
+    if batch_parallel:
+        sem = ("parallel",) + sem[1:]
     return pltpu.CompilerParams(
         vmem_limit_bytes=_VMEM_LIMIT,
-        dimension_semantics=("arbitrary",) * n_grid_dims,
+        dimension_semantics=sem,
     )
 
 

@@ -655,6 +655,7 @@ def resid_energy_forces(
     spatial_mode: str | None = None,
     pool_matmul_dtype=None,
     pool_precision=None,
+    batch_parallel: bool = False,
     interpret: bool = False,
 ):
     """Fused (E, F) evaluation with residual streaming + hand-written
@@ -842,7 +843,7 @@ def resid_energy_forces(
             ),
             scratch_shapes=[pltpu.VMEM((BT, N, F), jnp.float32)]
             + [pltpu.VMEM((BT, N, 1), jnp.float32)] * 6,
-            compiler_params=_compiler_params(),
+            compiler_params=_compiler_params(batch_parallel=batch_parallel),
             interpret=interpret,
         )(*x_planes, h0, upd_flags, e_rep, e_tile, *sp_consts, *leaves,
           *([mask_flat] if has_mask else []))
@@ -945,7 +946,7 @@ def resid_energy_forces(
             out_specs=(_bspec((Bc, N, 1), BT),) * 3,
             scratch_shapes=[pltpu.VMEM((BT, N, F), jnp.float32)]
             + [pltpu.VMEM((BT, N, 1), jnp.float32)] * 6,
-            compiler_params=_compiler_params(),
+            compiler_params=_compiler_params(batch_parallel=batch_parallel),
             interpret=interpret,
         )(bh, bx0, bx1, bx2, bv0, bv1, bv2, dh_fin, upd_flags, e_rep, e_tile,
           *sp_consts, *leaves, *resid_arrays,
