@@ -1,4 +1,5 @@
-"""Device-mesh parallelism: mesh construction and shard_map data parallelism."""
+"""Device-mesh parallelism: mesh construction, shard_map data parallelism,
+and coefficient-axis tensor parallelism."""
 
 from sake_tpu.parallel.mesh import (
     make_mesh,
@@ -12,6 +13,9 @@ from sake_tpu.parallel.data_parallel import (
     shard_batch,
     replicate_state,
 )
+from sake_tpu.parallel.tensor_parallel import (
+    tp_model_forward,
+)
 
 __all__ = [
     "make_mesh",
@@ -22,4 +26,5 @@ __all__ = [
     "make_dp_epoch",
     "shard_batch",
     "replicate_state",
+    "tp_model_forward",
 ]

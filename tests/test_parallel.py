@@ -160,3 +160,37 @@ def test_dp_step_kernel_backbone(mesh):
         jax.device_get(state_dp.params),
         jax.device_get(state_ref.params),
     )
+
+
+def test_tp_model_forward_matches_dense(mesh):
+    """Coefficient-axis tensor parallelism (tp_model_forward) must equal
+    the dense functional model — masked and unmasked — on a model-axis
+    mesh."""
+    from sake_tpu.kernels import model_forward, model_params_from_linen
+    from sake_tpu.models import SAKEModel
+    from sake_tpu.parallel import make_mesh, tp_model_forward
+
+    rng = np.random.RandomState(11)
+    B, N, F = 2, 6, 5
+    h = jnp.asarray(rng.randn(B, N, F), jnp.float32)
+    x = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+    model = SAKEModel(hidden_features=16, out_features=1, depth=2)
+    params = model.init(jax.random.PRNGKey(0), h[0], x[0])
+    kp = model_params_from_linen(params)
+    tp_mesh = make_mesh((("model", -1),))
+
+    out_d, x_d, _ = model_forward(kp, h, x)
+    out_t, x_t = jax.jit(
+        lambda h_, x_: tp_model_forward(kp, h_, x_, tp_mesh)
+    )(h, x)
+    np.testing.assert_allclose(out_t, out_d, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(x_t, x_d, rtol=5e-4, atol=5e-5)
+
+    node_mask = jnp.asarray((rng.rand(B, N) > 0.3).astype(np.float32))
+    mask = node_mask[:, :, None] * node_mask[:, None, :]
+    out_dm, x_dm, _ = model_forward(kp, h, x, mask=mask)
+    out_tm, x_tm = jax.jit(
+        lambda h_, x_, m_: tp_model_forward(kp, h_, x_, tp_mesh, mask=m_)
+    )(h, x, mask)
+    np.testing.assert_allclose(out_tm, out_dm, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(x_tm, x_dm, rtol=5e-4, atol=5e-5)
