@@ -238,7 +238,10 @@ def bench_kernel_bucketed(i, x, m, y, batch: int, repeats: int = 3) -> float:
         pad_atoms=True,
     )
 
-    # group -> stacked (n_batches, bs, n_pad, ...) arrays
+    # group -> stacked (n_batches, bs, n_slice, ...) arrays; the stored
+    # width caps the slice (the top bucket's 8-multiple may exceed it —
+    # make_hidden_fn's pad_atoms completes the sublane alignment)
+    n_stored = i.shape[1]
     groups = []
     total = 0
     for n_pad in sorted(set(pad_to.tolist())):
@@ -248,18 +251,17 @@ def bench_kernel_bucketed(i, x, m, y, batch: int, repeats: int = 3) -> float:
             continue
         idx = idx[: nb * bs]
         total += len(idx)
-        sl = lambda a: jnp.asarray(
-            np.asarray(a)[idx][:, :n_pad].reshape(
-                nb, bs, n_pad, *a.shape[2:]
-            )
+        ns = min(n_pad, n_stored)
+        sl = lambda a, ns=ns, idx=idx, nb=nb: jnp.asarray(
+            np.asarray(a)[idx][:, :ns].reshape(nb, bs, ns, *a.shape[2:])
         )
         groups.append(
             {
                 "i": sl(i),
                 "x": sl(x),
                 "m": jnp.asarray(
-                    np.asarray(m)[idx][:, :n_pad, :n_pad].reshape(
-                        nb, bs, n_pad, n_pad
+                    np.asarray(m)[idx][:, :ns, :ns].reshape(
+                        nb, bs, ns, ns
                     )
                 ),
                 "y": jnp.asarray(np.asarray(y)[idx].reshape(nb, bs, -1)),
