@@ -55,6 +55,12 @@ class QM9Config:
     # ingestion (data/qm9.py).
     target: Union[str, int, None] = None
     subtract_thermo: bool = True
+    # Size-bucketed training batches: group molecules by atom count
+    # padded up to this multiple (the reference's ANI bucketing,
+    # scripts/ani/data.py:37-48, applied to QM9) — cuts the O(N^2) edge
+    # grid ~2x on QM9's size distribution. None keeps the reference's
+    # flat 29-atom padding. Eval always runs flat (full split).
+    bucket_pad_multiple: Optional[int] = None
     data_parallel: bool = True
     max_notfinite: int = 10
     seed: int = 2666
@@ -183,6 +189,37 @@ def run(cfg: QM9Config, logger: Optional[MetricLogger] = None):
             split,
         )
 
+    def batchify_bucketed(split, rng):
+        """Groups of shape-uniform stacked batches, one entry per padded
+        size (each yields its own jitted program — bounded count)."""
+        mult = cfg.bucket_pad_multiple
+        n_stored = split["x"].shape[1]
+        sizes = np.asarray(split["node_mask"].sum(axis=-1)).astype(int)
+        pad_to = np.minimum(
+            np.maximum(mult, (sizes + mult - 1) // mult * mult), n_stored
+        )
+        perm = rng.permutation(len(sizes))
+        groups = []
+        for n_pad in sorted(set(pad_to.tolist())):
+            idx = perm[pad_to[perm] == n_pad]
+            nb = len(idx) // cfg.batch_size
+            if nb == 0:
+                continue
+            idx = idx[: nb * cfg.batch_size]
+
+            def cut(a, idx=idx, nb=nb, n_pad=n_pad):
+                a = np.asarray(a)[idx]
+                if a.ndim >= 2 and a.shape[1] == n_stored:
+                    a = a[:, :n_pad]
+                if a.ndim >= 3 and a.shape[2] == n_stored:
+                    a = a[:, :, :n_pad]
+                return jnp.asarray(
+                    a.reshape(nb, cfg.batch_size, *a.shape[1:])
+                )
+
+            groups.append(jax.tree.map(cut, split))
+        return groups
+
     rng = np.random.RandomState(cfg.seed)
     t0 = time.time()
 
@@ -223,8 +260,15 @@ def run(cfg: QM9Config, logger: Optional[MetricLogger] = None):
         place = lambda b: b
 
     for epoch_i in range(cfg.n_epochs):
-        batches = place(batchify(train, rng))
-        state, losses = epoch_fn(state, batches)
+        if cfg.bucket_pad_multiple:
+            losses = []
+            for group in batchify_bucketed(train, rng):
+                state, gl = epoch_fn(state, place(group))
+                losses.append(gl)
+            losses = jnp.concatenate(losses)
+        else:
+            batches = place(batchify(train, rng))
+            state, losses = epoch_fn(state, batches)
         nfc = notfinite_count(jax.device_get(state.opt_state))
         assert nfc <= cfg.max_notfinite, f"too many non-finite steps ({nfc})"
         logger.log(

@@ -155,3 +155,22 @@ def test_oc20_bigsys_forward():
         )
     )
     _finite(results)
+
+
+def test_qm9_bucketed_training():
+    """QM9 with size-bucketed training batches (bucket_pad_multiple):
+    one scanned program per padded size, eval unchanged (flat)."""
+    from sake_tpu.tasks.qm9 import QM9Config, run
+
+    _, results = run(
+        QM9Config(
+            hidden_features=8,
+            depth=2,
+            n_epochs=1,
+            n_samples=256,
+            batch_size=16,
+            data_parallel=False,
+            bucket_pad_multiple=8,
+        )
+    )
+    _finite(results)
