@@ -61,21 +61,19 @@ def main():
             chunk=min(batch, 512),
         )
 
-    def rollout(ef, p):
-        return jax.jit(
+    def measure(ef, p):
+        roll = jax.jit(
             lambda pp, xx, vv: velocity_verlet_rollout(
                 ef, pp, xx, vv, masses, dt=1e-3, n_steps=n_steps,
                 sample_every=n_steps,
             )
-        )(p, x0, v0)
-
-    def measure(ef, p):
-        xs, vs, es = rollout(ef, p)
+        )
+        xs, vs, es = roll(p, x0, v0)
         jax.block_until_ready(xs)
         reps = []
         for _ in range(3):
             t0 = time.perf_counter()
-            xs, vs, es = rollout(ef, p)
+            xs, vs, es = roll(p, x0, v0)
             float(np.asarray(xs).ravel()[0])
             reps.append(time.perf_counter() - t0)
         rate = n_steps * batch / float(np.median(reps))

@@ -52,6 +52,13 @@ _REGISTRY: Dict[str, Callable] = {
         "qm9", "run", "QM9Config",
         data_parallel=False, use_kernel_backbone=True,
     ),
+    # + size-bucketed batches (ANI-style bucketing applied to QM9: ~2x
+    # less edge-grid padding waste; see bench_train.py kernel_bucketed)
+    "qm9_kernel_bucketed": _lazy(
+        "qm9", "run", "QM9Config",
+        data_parallel=False, use_kernel_backbone=True,
+        bucket_pad_multiple=8,
+    ),
     # large heterogeneous
     "ani": _lazy("ani", "run", "ANIConfig"),
     "oc20": _lazy("oc20", "run", "OC20Config"),

@@ -56,6 +56,10 @@ TINY = {
     "qm9_kernel": dict(hidden_features=8, depth=2, n_epochs=1, n_samples=64,
                        batch_size=16, kernel_batch_tile=4,
                        kernel_interpret=True),  # Pallas train kernels
+    "qm9_kernel_bucketed": dict(hidden_features=8, depth=2, n_epochs=1,
+                                n_samples=128, batch_size=8,
+                                kernel_batch_tile=4, kernel_interpret=True,
+                                bucket_pad_multiple=8),
     "dw4": dict(depth=2, hidden_features=8, n_epochs=2, n_train=64, n_test=32),
     "qm9_aug": dict(depth=1, mp_depth=1, hidden_features=8, n_epochs=1,
                     epochs_per_block=1, n_train=48, n_test=16, batch_size=16),
