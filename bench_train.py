@@ -230,13 +230,23 @@ def bench_kernel_bucketed(i, x, m, y, batch: int, repeats: int = 3) -> float:
     sizes = np.asarray(m.sum(axis=(-1, -2)) ** 0.5).round().astype(int)
     pad_to = np.maximum(8, (sizes + 7) // 8 * 8)
 
-    hidden = make_hidden_fn(
-        batch_tile=4,
-        precision=None,
-        edge_matmul_dtype=jnp.bfloat16,
-        resid_dtype=jnp.bfloat16,
-        pad_atoms=True,
-    )
+    # per-bucket batch tile: the train-bwd kernel VMEM-OOMs at bt=8 for
+    # N=32 edge blocks, but small buckets (N <= 16) have 4-16x smaller
+    # blocks — run them at bt=8
+    _hidden = {
+        bt: make_hidden_fn(
+            batch_tile=bt,
+            precision=None,
+            edge_matmul_dtype=jnp.bfloat16,
+            resid_dtype=jnp.bfloat16,
+            pad_atoms=True,
+        )
+        for bt in (4, 8)
+    }
+
+    def hidden(kp_, i_, x_, m_):
+        bt = 8 if x_.shape[-2] <= 16 else 4
+        return _hidden[bt](kp_, i_, x_, m_)
 
     # group -> stacked (n_batches, bs, n_slice, ...) arrays; the stored
     # width caps the slice (the top bucket's 8-multiple may exceed it —
