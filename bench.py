@@ -178,7 +178,10 @@ def main():
     if os.environ.get("SAKE_BENCH_OOM_PROBE", "1") != "0":
         sweep[str(OOM_PROBE_BATCH)] = _oom_probe(OOM_PROBE_BATCH)
 
-    kernel_timeout = float(os.environ.get("SAKE_BENCH_KERNEL_TIMEOUT", "1200"))
+    # generous default: a COLD Mosaic compile of the resid fwd+bwd pair
+    # takes 5-12 min server-side (cached afterwards); 1200 s proved too
+    # tight when a source change invalidated the cache mid-round
+    kernel_timeout = float(os.environ.get("SAKE_BENCH_KERNEL_TIMEOUT", "2700"))
     if kernel_timeout > 0:
         variants = os.environ.get(
             "SAKE_BENCH_KERNEL_VARIANTS", DEFAULT_KERNEL_VARIANTS

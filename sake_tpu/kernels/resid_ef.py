@@ -54,6 +54,26 @@ from sake_tpu.kernels.functional import EPSILON, INF, ModelParams, _silu
 from sake_tpu.kernels.split_ef import head_expansion_matrices
 
 
+import os as _os
+
+# TIMING-ONLY ablations (SAKE_ABLATE env, comma-separated): replace a
+# transcendental with a cheap surrogate to measure its cost share.
+# Results are numerically WRONG under ablation — the bench oracle gate
+# rejects them by construction; probe via resid-fwd/e-only paths.
+_ABLATE = set(
+    a for a in _os.environ.get("SAKE_ABLATE", "").split(",") if a
+)
+_tanh = (lambda x: x * 0.5) if "notanh" in _ABLATE else jnp.tanh
+if "nosilu" in _ABLATE:  # shadows the imported _silu (timing-only)
+    _silu = lambda x: x * 0.5  # noqa: F811
+
+
+def _exp(x):
+    if "noexp" in _ABLATE:
+        return 1.0 + x * 0.1
+    return jnp.exp(x)
+
+
 def _sigmoid(x):
     return jax.nn.sigmoid(x)
 
@@ -126,8 +146,8 @@ def layer_fwd_resid(p, h, xp, vp, upd, *, e_rep, e_tile, mm, mm_edge=None,
     a_j = (mm(h2d, p["w_in_j"]) + p["b_in"]).reshape(BT, N, R)
     a_i = mm(h2d, p["w_in_i"]).reshape(BT, N, R)
     pre = a_j[:, None, :, :] + a_i[:, :, None, :]
-    t = jnp.exp(-r)
-    rbf = jnp.exp(-p["rbf_b"] * (t - p["rbf_m"]) ** 2)
+    t = _exp(-r)
+    rbf = _exp(-p["rbf_b"] * (t - p["rbf_m"]) ** 2)
     filtered = rbf * pre
     o_j = mm(h2d, p["w_o_j"]).reshape(BT, N, H)
     o_i = mm(h2d, p["w_o_i"]).reshape(BT, N, H)
@@ -167,7 +187,7 @@ def layer_fwd_resid(p, h, xp, vp, upd, *, e_rep, e_tile, mm, mm_edge=None,
     )
     HK = h_e_att.shape[-1]
     C = p["w_xmix"].shape[-1]
-    coeff = jnp.tanh(mm_edge(h_e_att, p["w_xmix"]).reshape(BT, N, N, C))
+    coeff = _tanh(mm_edge(h_e_att, p["w_xmix"]).reshape(BT, N, N, C))
     if mask is not None:
         coeff = coeff * mask
 
