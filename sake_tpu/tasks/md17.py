@@ -53,6 +53,15 @@ class MD17Config:
     checkpoint_dir: Optional[str] = None
     checkpoint_every_blocks: int = 1
     seed: int = 2666
+    # Second-order Pallas kernel path (kernels/train2_ef): the fused E+F
+    # primal runs on the residual-streaming kernels and the force-loss
+    # training gradient on the JVP-augmented kernel pair — measured 2.4x
+    # the lax double-autodiff step (BENCH_TRAIN_MD17.json). Training
+    # state becomes the functional ModelParams pytree.
+    use_kernel_ef: bool = False
+    kernel_batch_tile: int = 8
+    aug_batch_tile: int = 4
+    kernel_interpret: bool = False  # CPU-backend testing
 
 
 def make_model(cfg: MD17Config) -> SAKEModel:
@@ -121,7 +130,40 @@ def run(cfg: MD17Config, logger: Optional[MetricLogger] = None):
     tx = make_optimizer(warmup_cosine_schedule(cfg.learning_rate, total_steps))
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
-    ef_fn = make_energy_force_fn(model, species, e_mean, e_std)
+    if cfg.use_kernel_ef:
+        from sake_tpu.kernels import model_params_from_linen
+        from sake_tpu.kernels.train2_ef import make_ef_train2
+
+        bt = min(cfg.kernel_batch_tile, cfg.batch_size)
+        abt = min(cfg.aug_batch_tile, cfg.batch_size)
+        if cfg.batch_size % bt or cfg.batch_size % abt:
+            raise ValueError("batch_size must be divisible by kernel tiles")
+        ef_raw = make_ef_train2(
+            n_heads=cfg.n_heads,
+            update=True,
+            batch_tile=bt,
+            aug_batch_tile=abt,
+            edge_matmul_dtype=None if cfg.kernel_interpret else jnp.bfloat16,
+            resid_dtype=(
+                jnp.float32 if cfg.kernel_interpret else jnp.bfloat16
+            ),
+            pad_atoms=True,
+            interpret=cfg.kernel_interpret,
+        )
+        n_atoms = x_tr.shape[1]
+
+        def ef_fn(kp, x):
+            h = jnp.broadcast_to(
+                species, (x.shape[0], n_atoms, species.shape[-1])
+            ).astype(jnp.float32)
+            e, f = ef_raw(kp, h, x)
+            # coloring: E = raw*std + mean => F = -dE/dx = std * f_raw
+            return (e * e_std + e_mean)[..., None], f * e_std
+
+        params = model_params_from_linen(params["params"])
+        state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    else:
+        ef_fn = make_energy_force_fn(model, species, e_mean, e_std)
     step_fn = make_step_fn(ef_fn, cfg.energy_loss_weight)
     train_data = {
         "x": jnp.asarray(x_tr),

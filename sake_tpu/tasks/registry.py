@@ -42,6 +42,9 @@ _REGISTRY: Dict[str, Callable] = {
     # energy+force
     "md17": _lazy("md17", "run", "MD17Config"),
     "md17_traj": _lazy("md17", "run", "MD17Config", checkpoint_every_blocks=1),
+    # flagship training fully on Pallas kernels: second-order force-loss
+    # gradients via the JVP-augmented pair (2.4x lax; BENCH_TRAIN_MD17)
+    "md17_kernel": _lazy("md17", "run", "MD17Config", use_kernel_ef=True),
     "iso17": _lazy("iso17", "run", "ISO17Config"),
     # property regression
     "qm9": _lazy("qm9", "run", "QM9Config"),

@@ -49,6 +49,10 @@ TINY = {
     # list_workloads() name must run end-to-end in CI.
     "md17_traj": dict(hidden_features=8, depth=2, n_epochs=2,
                       epochs_per_block=1, n_train=16, n_valid=8, batch_size=8),
+    "md17_kernel": dict(hidden_features=8, depth=2, n_epochs=1,
+                        epochs_per_block=1, n_train=8, n_valid=4,
+                        batch_size=4, kernel_batch_tile=4, aug_batch_tile=2,
+                        kernel_interpret=True),
     "md17_forecast": dict(hidden_features=8, depth=2, n_epochs=1,
                           epochs_per_block=1, n_samples=60, batch_size=12),
     "qm9_tpu": dict(hidden_features=8, depth=2, n_epochs=1, n_samples=256,
