@@ -63,6 +63,15 @@ import os as _os
 _ABLATE = set(
     a for a in _os.environ.get("SAKE_ABLATE", "").split(",") if a
 )
+if _ABLATE:  # pragma: no cover
+    import sys as _sys
+
+    print(
+        f"WARNING: SAKE_ABLATE={sorted(_ABLATE)} — resid kernels are "
+        "numerically WRONG (timing-only ablation mode)",
+        file=_sys.stderr,
+        flush=True,
+    )
 _tanh = (lambda x: x * 0.5) if "notanh" in _ABLATE else jnp.tanh
 if "nosilu" in _ABLATE:  # shadows the imported _silu (timing-only)
     _silu = lambda x: x * 0.5  # noqa: F811
