@@ -33,9 +33,11 @@ class MetricLogger:
         self._file = open(path, "a") if path else None
         self._stream = stream if stream is not None else sys.stdout
         self._t0 = time.time()
+        self.records = []  # in-memory copy (programmatic consumers)
 
     def log(self, step: int, **metrics) -> None:
         rec = {"step": int(step), "t": round(time.time() - self._t0, 3), **metrics}
+        self.records.append(rec)
         line = json.dumps(rec)
         if self._file:
             self._file.write(line + "\n")
