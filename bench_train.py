@@ -23,6 +23,7 @@ Usage: ``python bench_train.py [batch_size] [n_batches]``.
 import json
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -46,8 +47,13 @@ def make_data(n_batches: int, batch: int, n_atoms: int = 29, n_species: int = 10
     return i, x, m, y
 
 
-def bench_reference(i, x, m, y, batch: int, repeats: int = 3) -> float:
-    """The reference's own model + training structure
+def bench_reference(i, x, m, y, batch: int, repeats: int = 7) -> float:
+    """Reference rate is the noisiest number in this file (a host-side
+    python loop dispatching one pmap per batch is extremely sensitive to
+    tunnel latency; measured 1,127-1,605 samples/s across round-2/3
+    runs). 7 repeats + median pins it near its true central value.
+
+    The reference's own model + training structure
     (``/root/reference/scripts/qm9_tpu/run.py:60-111``)."""
     sys.path.insert(0, "/root/reference")
     import optax
@@ -208,7 +214,7 @@ def bench_kernel(i, x, m, y, batch: int, repeats: int = 3) -> float:
     return total / float(np.median(times))
 
 
-def bench_kernel_bucketed(i, x, m, y, batch: int, repeats: int = 3) -> float:
+def bench_kernel_bucketed(i, x, m, y, batch: int, repeats: int = 5) -> float:
     """The kernel path with SIZE-BUCKETED batches: molecules grouped by
     atom count padded to the next multiple of 8 (the reference's own ANI
     bucketing, ``scripts/ani/data.py:37-48``, applied to QM9). Identical
@@ -296,16 +302,18 @@ def bench_kernel_bucketed(i, x, m, y, batch: int, repeats: int = 3) -> float:
         u, o_ = tx.update(g, o_)
         return (optax.apply_updates(kp_, u), o_), None
 
-    @jax.jit
-    def scan_group(kp_, o_, batches):
-        (kp_, o_), _ = jax.lax.scan(step, (kp_, o_), batches)
-        return kp_, o_
+    # ONE jit for the whole epoch: every bucket's scan lives in a single
+    # XLA program (different static shapes per scan are fine inside one
+    # trace). The per-bucket-dispatch version paid one tunnel round trip
+    # (~25 ms) per bucket per epoch — ~10% of the epoch at these rates.
+    group_data = tuple(
+        {k: g[k] for k in ("i", "x", "m", "y")} for g in groups
+    )
 
-    def epoch(kp_, o_):
-        for g in groups:
-            kp_, o_ = scan_group(
-                kp_, o_, {k: g[k] for k in ("i", "x", "m", "y")}
-            )
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def epoch(kp_, o_, gs):
+        for batches in gs:
+            (kp_, o_), _ = jax.lax.scan(step, (kp_, o_), batches)
         return kp_, o_
 
     # parity gate on the largest bucket's first batch vs the linen model
@@ -332,12 +340,12 @@ def bench_kernel_bucketed(i, x, m, y, batch: int, repeats: int = 3) -> float:
         return float(np.asarray(jax.tree.leaves(kp_)[0]).ravel()[0])
 
     o = tx.init(kp)
-    kp2, o2 = epoch(kp, o)  # warmup/compile (one per bucket shape)
+    kp2, o2 = epoch(kp, o, group_data)  # warmup/compile
     force(kp2)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        kp2, o2 = epoch(kp2, o2)
+        kp2, o2 = epoch(kp2, o2, group_data)
         force(kp2)
         times.append(time.perf_counter() - t0)
     return total / float(np.median(times))
