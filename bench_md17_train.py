@@ -27,9 +27,18 @@ import optax
 
 
 def main():
+    # batch 1024 OOMs HBM in shared mode (two whole-batch residual
+    # streams live across the aug backward); 512 is the operating point
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    # aug_bt=8 VMEM-OOMs the vjp(jvp(layer)) backward body; 4 fits
+    # aug_bt=8 VMEM-OOMs the aug backward body (2x block bytes); 4 fits
     aug_bt = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    # "shared" (default, measured champion 2.56x lax): primal streams
+    # residuals across the custom_vjp boundary, backward = hand-written
+    # tangent-only forward + 3-backward aug pullback, no primal
+    # recompute. "resid": chunked jvp-of-forward pipeline (2.47x).
+    # "retrace": the round-3 vjp(jvp(layer)) re-trace (2.44x).
+    aug_mode = sys.argv[3] if len(sys.argv) > 3 else "shared"
+    aug_chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 128
 
     from sake_tpu.data.md17 import ASPIRIN_Z
     from sake_tpu.kernels import model_params_from_linen
@@ -61,6 +70,7 @@ def main():
         n_heads=4, update=True, batch_tile=8, aug_batch_tile=aug_bt,
         edge_matmul_dtype=jnp.bfloat16, resid_dtype=jnp.bfloat16,
         pad_atoms=True, chunk=min(batch, 512),
+        aug_mode=aug_mode, aug_chunk=min(batch, aug_chunk),
     )
 
     def loss_with(ef):
@@ -129,6 +139,7 @@ def main():
                 "parity_loss_rel": round(l_err, 8),
                 "batch": batch,
                 "aug_batch_tile": aug_bt,
+                "aug_mode": aug_mode,
                 "order": "second (force-loss) — grad(loss(E, -dE/dx), params)",
             }
         )

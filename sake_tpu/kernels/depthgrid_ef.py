@@ -76,17 +76,23 @@ def _make_mm_prec(matmul_dtype, precision):
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _compiler_params(n_grid_dims: int = 2, batch_parallel: bool = False):
+def _compiler_params(n_grid_dims: int = 2, batch_parallel: bool = False,
+                     vmem_limit: int | None = None):
     """``batch_parallel=True`` marks the leading (batch-tile) grid dim
     ``parallel``: legal whenever the carried scratch state is re-seeded
     at the innermost dim's step 0 (every kernel here does), and it lets
     the Mosaic pipeline overlap DMA across batch-tile boundaries that
-    ``arbitrary`` serializes."""
+    ``arbitrary`` serializes.
+
+    ``vmem_limit`` overrides the default 100M scoped-VMEM budget — the
+    heaviest bodies (train2's aug-backward, which streams TWO residual
+    sets) sit within ~1% of it; v5e physically has 128M."""
     sem = ("arbitrary",) * n_grid_dims
     if batch_parallel:
         sem = ("parallel",) + sem[1:]
     return pltpu.CompilerParams(
-        vmem_limit_bytes=_VMEM_LIMIT,
+        vmem_limit_bytes=vmem_limit if vmem_limit is not None else
+        _VMEM_LIMIT,
         dimension_semantics=sem,
     )
 

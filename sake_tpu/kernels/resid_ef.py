@@ -663,6 +663,175 @@ def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
     return d_h, d_xp, d_vp, dW
 
 
+def layer_jvp_resid(p, resid, h, xp, vp, th, txp, tvp, upd, *, e_rep,
+                    e_tile, mm, mm_edge=None, n_real=None, mask=None):
+    """Hand-derived TANGENT-ONLY forward of one layer: propagates the
+    tangent state ``(th, txp, tvp)`` through ``layer_fwd_resid``'s map
+    using the SAVED primal residuals — none of the expensive primal edge
+    matmuls or transcendentals are recomputed (only the node-level
+    ``a_j``/``a_i`` and the cheap ``heE``/``attE`` head expansions, the
+    same recomputes ``layer_bwd_resid`` makes).
+
+    Returns ``(th2, txp2, tvp2, tresid)`` where ``tresid`` is the exact
+    tangent of the residual dict — the inputs the second-order backward's
+    Hessian term (``jax.jvp`` of ``layer_bwd_resid``) consumes. Verified
+    against ``jax.jvp(layer_fwd_resid)`` in ``tests/test_kernels.py``.
+    """
+    BT, N, F = h.shape
+    R = p["w_in_j"].shape[-1]
+    H = p["w_o_j"].shape[-1]
+    K = p["w_sem"].shape[-1]
+    C = p["w_xmix"].shape[-1]
+    if mm_edge is None:
+        mm_edge = mm
+    n_eff = float(n_real if n_real is not None else N)
+    E = BT * N * N
+
+    e4 = lambda a: a.reshape(BT, N, N, -1)
+    r = e4(resid["r"])
+    t = e4(resid["t"])
+    rbf = e4(resid["rbf"])
+    e0 = e4(resid["e0"])
+    h_e = e4(resid["h_e"])
+    sem_pre = e4(resid["sem_pre"])
+    att = e4(resid["att"])
+    coeff = e4(resid["coeff"])
+    pooled = [resid["pool0"], resid["pool1"], resid["pool2"]]
+    ps0 = resid["ps0"].reshape(BT * N, -1)
+    ps1 = resid["ps1"].reshape(BT * N, -1)
+    node_pre = resid["node_pre"].reshape(BT * N, -1)
+    uv = resid["uv"].reshape(BT * N, -1)
+    g0 = resid["g0"].reshape(BT * N, -1)
+    g1 = resid["g1"].reshape(BT, N, 1)
+
+    h2d = h.reshape(BT * N, F)
+    th2d = th.reshape(BT * N, F)
+    d0 = [pk[:, None, :, :] - pk[:, :, None, :] for pk in xp]
+    td0 = [tk[:, None, :, :] - tk[:, :, None, :] for tk in txp]
+
+    # r = sqrt(relu(s) + eps): dr = 0.5/r * relu'(s) * ds
+    relu_s_pos = (r * r > EPSILON).astype(r.dtype)
+    t_s = 2.0 * (d0[0] * td0[0] + d0[1] * td0[1] + d0[2] * td0[2])
+    t_r = (0.5 / r) * relu_s_pos * t_s
+
+    # edge model tangents on saved activations
+    a_j = (mm(h2d, p["w_in_j"]) + p["b_in"]).reshape(BT, N, R)
+    a_i = mm(h2d, p["w_in_i"]).reshape(BT, N, R)
+    pre = a_j[:, None, :, :] + a_i[:, :, None, :]
+    t_a_j = mm(th2d, p["w_in_j"]).reshape(BT, N, R)
+    t_a_i = mm(th2d, p["w_in_i"]).reshape(BT, N, R)
+    t_pre = t_a_j[:, None, :, :] + t_a_i[:, :, None, :]
+    t_t = -t * t_r
+    t_rbf = rbf * (-2.0 * p["rbf_b"] * (t - p["rbf_m"])) * t_t
+    t_filtered = t_rbf * pre + rbf * t_pre
+    t_o_j = mm(th2d, p["w_o_j"]).reshape(BT, N, H)
+    t_o_i = mm(th2d, p["w_o_i"]).reshape(BT, N, H)
+    t_o_f = mm_edge(t_filtered.reshape(E, R), p["w_o_f"]).reshape(
+        BT, N, N, H
+    )
+    t_e0 = (
+        t_o_j[:, None] + t_o_i[:, :, None] + t_o_f + t_r * p["w_o_r"][0]
+    )
+    t_se = _dsilu(e0) * t_e0
+    t_h_e = mm_edge(t_se.reshape(E, H), p["w_o1"]).reshape(BT, N, N, H)
+
+    t_sem_pre = mm_edge(t_h_e.reshape(E, H), p["w_sem"]).reshape(
+        BT, N, N, K
+    )
+    dcelu = jnp.where(sem_pre > 0, 1.0, jnp.exp(sem_pre / 2.0))
+    t_logits = dcelu * t_sem_pre  # additive -INF masks: constant
+    # softmax jvp on the saved raw softmax (axis -2)
+    t_att = att * (t_logits - (att * t_logits).sum(axis=-2, keepdims=True))
+    if mask is not None:
+        att_s = att * mask
+        t_att_s = t_att * mask
+        denom = att_s.sum(axis=-2, keepdims=True)
+        dg = jnp.where(denom == 0.0, 1.0, denom)
+        att2 = att_s / dg
+        t_dg = jnp.where(denom == 0.0, 0.0, t_att_s.sum(axis=-2, keepdims=True))
+        t_att2 = (t_att_s - att2 * t_dg) / dg
+    else:
+        att2 = att
+        t_att2 = t_att
+
+    heE = mm_edge(h_e.reshape(E, H), e_rep).reshape(BT, N, N, -1)
+    attE = mm_edge(att2.reshape(E, K), e_tile).reshape(BT, N, N, -1)
+    HK = heE.shape[-1]
+    t_heE = mm_edge(t_h_e.reshape(E, H), e_rep).reshape(BT, N, N, HK)
+    t_attE = mm_edge(t_att2.reshape(E, K), e_tile).reshape(BT, N, N, HK)
+    t_h_e_att = t_heE * attE + heE * t_attE
+
+    t_xm = mm_edge(t_h_e_att.reshape(E, HK), p["w_xmix"]).reshape(
+        BT, N, N, C
+    )
+    # saved coeff is masked; at mask=0 the (1-coeff^2)=1 error is zeroed
+    t_coeff = (1.0 - coeff * coeff) * t_xm
+    if mask is not None:
+        t_coeff = t_coeff * mask
+
+    inv_r = 1.0 / (r + 1e-5)
+    t_inv_r = -(inv_r * inv_r) * t_r
+    u = [dk * inv_r for dk in d0]
+    t_u = [tk * inv_r + dk * t_inv_r for tk, dk in zip(td0, d0)]
+    t_pooled = [
+        (t_coeff * u[k] + coeff * t_u[k]).sum(axis=-2) for k in range(3)
+    ]
+    if mask is not None:
+        count = mask.sum(axis=-2)
+        pool_denom = count + 1e-8
+        dv_denom = count + 1e-10
+    else:
+        pool_denom = dv_denom = n_eff
+    t_pool_sq = sum(
+        2.0 * (pooled[k] / pool_denom) * (t_pooled[k] / pool_denom)
+        for k in range(3)
+    )
+    t_ps0 = mm(t_pool_sq.reshape(BT * N, C), p["w_post0"])
+    t_ps1 = mm(_dsilu(ps0) * t_ps0, p["w_post1"])
+    t_h_comb = _dsilu(ps1) * t_ps1
+
+    t_hatt_sum = t_h_e_att.sum(axis=-2)
+    t_node_pre = (
+        mm(th2d, p["w_node_h"])
+        + mm(t_hatt_sum.reshape(BT * N, HK), p["w_node_agg"])
+        + mm(t_h_comb, p["w_node_comb"])
+    )
+    t_uv = mm(_dsilu(node_pre) * t_node_pre, p["w_node1"])
+    t_h_out2d = th2d + _dsilu(uv) * t_uv
+    t_h_out = t_h_out2d.reshape(BT, N, F)
+
+    t_delta = [
+        mm(t_pooled[k].reshape(BT * N, C), p["w_vmix"]).reshape(BT, N, 1)
+        / dv_denom
+        for k in range(3)
+    ]
+    t_g0 = mm(t_h_out2d, p["w_vel0"])
+    t_g1 = mm(_dsilu(g0) * t_g0, p["w_vel1"]).reshape(BT, N, 1)
+    sig_g1 = _sigmoid(g1)
+    gate = 2.0 * sig_g1
+    t_gate = 2.0 * sig_g1 * (1.0 - sig_g1) * t_g1
+    t_v_new = [
+        t_gate * vk + gate * tvk + tdk
+        for vk, tvk, tdk in zip(vp, tvp, t_delta)
+    ]
+    txp_out = [tk + upd * tvn for tk, tvn in zip(txp, t_v_new)]
+    tvp_out = [
+        tvk + upd * (tvn - tvk) for tvk, tvn in zip(tvp, t_v_new)
+    ]
+
+    e2 = lambda a: a.reshape(BT, N * N, -1)
+    tresid = dict(
+        r=e2(t_r), t=e2(t_t), rbf=e2(t_rbf), e0=e2(t_e0), h_e=e2(t_h_e),
+        sem_pre=e2(t_sem_pre), att=e2(t_att), coeff=e2(t_coeff),
+        pool0=t_pooled[0], pool1=t_pooled[1], pool2=t_pooled[2],
+        ps0=t_ps0.reshape(BT, N, -1), ps1=t_ps1.reshape(BT, N, -1),
+        node_pre=t_node_pre.reshape(BT, N, -1),
+        uv=t_uv.reshape(BT, N, -1),
+        g0=t_g0.reshape(BT, N, -1), g1=t_g1,
+    )
+    return t_h_out, txp_out, tvp_out, tresid
+
+
 def resid_energy_forces(
     params: ModelParams,
     h: jax.Array,  # (B, N, F_in)

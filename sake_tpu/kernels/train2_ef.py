@@ -57,8 +57,25 @@ from sake_tpu.kernels.depthgrid_ef import (
     wide_stack,
 )
 from sake_tpu.kernels.functional import ModelParams, _silu
-from sake_tpu.kernels.resid_ef import unsplit_layer_grads
+from sake_tpu.kernels.resid_ef import (
+    _EDGE_RESIDS,
+    _NODE_RESIDS,
+    _edge_channels,
+    _make_mmt_prec,
+    _node_channels,
+    _resid_dtype_for,
+    layer_bwd_resid,
+    layer_fwd_resid,
+    layer_jvp_resid,
+    unsplit_layer_grads,
+)
 from sake_tpu.kernels.split_ef import head_expansion_matrices
+
+# The aug-backward bodies (3 backward-equivalents, TWO residual streams
+# resident per grid step) sit ~0.6% over the default 100M scoped-VMEM
+# budget at abt=4 — grant them most of v5e's physical 128M instead of
+# dropping to abt=2.
+_AUG_BWD_VMEM = 117 * 1024 * 1024
 
 
 def _aug_layer(p, upd, e_rep, e_tile, mm, mm_edge, n_real):
@@ -94,26 +111,54 @@ def make_ef_train2(
     spatial_mode: str | None = None,
     pad_atoms: bool = False,
     chunk: int | None = 512,
+    aug_mode: str = "resid",
+    aug_chunk: int | None = 128,
     interpret: bool = False,
 ):
     """Build ``ef(params, h, x) -> (e, f)`` whose primal runs the champion
     residual-streaming kernel pair and whose *backward* (the training
-    gradient) runs the JVP-augmented kernel pair above. First- and
-    second-order gradients w.r.t. ``params``/``h``/``x`` are exact for any
-    loss of ``(e, f)``.
+    gradient) runs a JVP-augmented kernel pair. First- and second-order
+    gradients w.r.t. ``params``/``h``/``x`` are exact for any loss of
+    ``(e, f)``.
 
     ``aug_batch_tile``: batch tile of the augmented kernels (their bodies
-    trace ~6 layer-equivalents of ops; the Mosaic compiler's memory
+    trace several layer-equivalents of ops; the Mosaic compiler's memory
     scales with block size x op count, so this usually wants to be
     smaller than the primal's ``batch_tile``).
+
+    ``aug_mode`` selects the augmented-backward formulation:
+
+    - ``"retrace"`` — round-3 scheme: the aug-backward re-traces
+      ``jax.vjp(jvp(layer))`` per layer (~5-6 forward-equivalents of
+      in-kernel work; no residual traffic).
+    - ``"resid"`` (default) — the aug-forward runs ``jax.jvp`` OF
+      ``layer_fwd_resid``, streaming BOTH primal and tangent residuals;
+      the aug-backward is then 3 hand-written-backward equivalents:
+      ``layer_bwd_resid(c_p)`` for the primal cotangent + one in-kernel
+      ``jax.jvp`` of ``layer_bwd_resid`` whose primal output propagates
+      the tangent cotangent (``J^T c_t``) and whose tangent output is the
+      Hessian-vector term (and the matching parameter-gradient term).
+      Identical math (same measured bf16-tier error), ~1.2-1.4x faster.
+
+    ``aug_chunk``: batch chunk of the resid aug pipeline (two residual
+    streams for a whole chunk live in HBM between aug-fwd and aug-bwd;
+    ~7 MB/eval at bf16).
     """
     from sake_tpu.kernels.resid_ef import resid_energy_forces
 
+    if aug_mode not in ("retrace", "resid", "shared"):
+        raise ValueError(f"unknown aug_mode {aug_mode!r}")
     ABT = aug_batch_tile if aug_batch_tile is not None else batch_tile
+    BT_P = batch_tile
     mm = _make_mm_prec(matmul_dtype, precision)
     mm_edge = None
     if edge_matmul_dtype is not None or edge_precision is not None:
         mm_edge = _make_mm_prec(edge_matmul_dtype, edge_precision)
+    mm_t = _make_mmt_prec(matmul_dtype, precision)
+    mm_edge_t = _make_mmt_prec(
+        edge_matmul_dtype if edge_matmul_dtype is not None else matmul_dtype,
+        edge_precision if edge_precision is not None else precision,
+    )
 
     def primal_fn(params, h, x):
         return resid_energy_forces(
@@ -415,6 +460,980 @@ def make_ef_train2(
         )
         return d_params, d_h, d_x
 
+    def _aug_grad_resid(params, h, x, g_e, g_f):
+        """``aug_mode="resid"`` backward. For the augmented layer map
+        ``A(s, t) = (L(s), J(s)t)`` with output cotangents ``(c_p, c_t)``:
+
+            d s = J^T c_p + [d_s(J(s)t)]^T c_t
+            d t = J^T c_t
+            d p = (d_p L)^T c_p + [d_p(J(s)t)]^T c_t
+
+        ``layer_bwd_resid`` evaluates ``J^T c`` (+ ``(d_p L)^T c``) from
+        saved residuals; ``jax.jvp`` OF it at ``(resid, inputs)`` along
+        ``(tresid, tangent inputs)`` yields ``d t`` as its primal output
+        and both Hessian-term contributions as its tangent output — one
+        trace, ~2 backward-equivalents, no layer re-forward. The aug
+        forward is ``jax.jvp`` of ``layer_fwd_resid`` so the tangent of
+        the residual dict (``tresid``) comes out for free.
+        """
+        B, N0, F_in = h.shape
+        n_real = None
+        if pad_atoms and N0 % 8:
+            n_real = N0
+            n_pad = (-N0) % 8
+            h = jnp.pad(h, ((0, 0), (0, n_pad), (0, 0)))
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
+            g_f = jnp.pad(g_f, ((0, 0), (0, n_pad), (0, 0)))
+        N = h.shape[1]
+        if B % ABT:
+            raise ValueError(f"batch {B} not divisible by aug tile {ABT}")
+        depth = len(params.layers)
+        updates = (
+            [update] * depth if isinstance(update, bool) else list(update)
+        )
+        upd_flags = jnp.asarray(updates, jnp.float32).reshape(depth, 1)
+        F = params.w_embed.shape[-1]
+        lay0 = params.layers[0]
+        R = lay0.edge.w_in.shape[-1]
+        H = lay0.edge.w_out0.shape[-1]
+        C = lay0.w_xmix.shape[-1]
+        e_rep, e_tile = head_expansion_matrices(H, n_heads)
+        leaves = wide_stack(params, n_heads)
+        ech = _edge_channels(R, H, n_heads, C)
+        nch = _node_channels(lay0, C)
+
+        h0_full = (
+            mm(h.reshape(B * N, F_in), params.w_embed) + params.b_embed
+        ).reshape(B, N, F)
+        xp_full = [x[..., k : k + 1] for k in range(3)]
+        tp_full = [g_f[..., k : k + 1] for k in range(3)]
+
+        def read_p(lrefs):
+            return {nm: r[0] for nm, r in zip(_LEAF_NAMES, lrefs)}
+
+        def _pipe(h0, x_planes, t_planes, g_e_c):
+            Bc = h0.shape[0]
+            grid = (Bc // ABT, depth)
+            resid_shapes = [
+                ((depth, Bc, N * N, ech[nm]), nm) for nm in _EDGE_RESIDS
+            ] + [((depth, Bc, N, nch[nm]), nm) for nm in _NODE_RESIDS]
+            n_resid = len(resid_shapes)
+
+            # --- aug forward: jvp of layer_fwd_resid, streams both
+            # residual streams + augmented boundary states ----------------
+            def fwd_kernel(*refs):
+                (x0r, x1r, x2r, t0r, t1r, t2r, hr, updr, err, etr) = refs[:10]
+                lrefs = refs[10 : 10 + len(leaves)]
+                o = 10 + len(leaves)
+                brefs = refs[o : o + 14]
+                hfin_ref, thfin_ref = refs[o + 14 : o + 16]
+                rrefs = refs[o + 16 : o + 16 + n_resid]
+                trrefs = refs[o + 16 + n_resid : o + 16 + 2 * n_resid]
+                scr = refs[o + 16 + 2 * n_resid :]
+                sh, sth = scr[0], scr[1]
+                sx = scr[2:5]
+                sv = scr[5:8]
+                stx = scr[8:11]
+                stv = scr[11:14]
+
+                d = pl.program_id(1)
+
+                @pl.when(d == 0)
+                def _():
+                    sh[:] = hr[:]
+                    sth[:] = jnp.zeros_like(hr[:])
+                    for k, (xr, tr) in enumerate(
+                        zip((x0r, x1r, x2r), (t0r, t1r, t2r))
+                    ):
+                        sx[k][:] = xr[:]
+                        sv[k][:] = jnp.zeros_like(xr[:])
+                        stx[k][:] = tr[:]
+                        stv[k][:] = jnp.zeros_like(xr[:])
+
+                state = (
+                    sh[:],
+                    [sx[k][:] for k in range(3)],
+                    [sv[k][:] for k in range(3)],
+                    sth[:],
+                    [stx[k][:] for k in range(3)],
+                    [stv[k][:] for k in range(3)],
+                )
+                flat_in = (
+                    [state[0]] + state[1] + state[2]
+                    + [state[3]] + state[4] + state[5]
+                )
+                for br, val in zip(brefs, flat_in):
+                    br[0] = val
+
+                p = read_p(lrefs)
+                upd = updr[d, 0]
+
+                def layer(h_, xp_, vp_):
+                    h2, xp2, vp2, resid = layer_fwd_resid(
+                        p, h_, xp_, vp_, upd,
+                        e_rep=err[:], e_tile=etr[:], mm=mm, mm_edge=mm_edge,
+                        n_real=n_real,
+                    )
+                    return (h2, list(xp2), list(vp2)), resid
+
+                ((h2, xp2, vp2), resid), ((th2, txp2, tvp2), tresid) = (
+                    jax.jvp(
+                        layer,
+                        (state[0], state[1], state[2]),
+                        (state[3], state[4], state[5]),
+                    )
+                )
+                for (_, nm), rr in zip(resid_shapes, rrefs):
+                    rr[0] = resid[nm].astype(rr.dtype)
+                for (_, nm), rr in zip(resid_shapes, trrefs):
+                    rr[0] = tresid[nm].astype(rr.dtype)
+                sh[:] = h2
+                sth[:] = th2
+                for k in range(3):
+                    sx[k][:] = xp2[k]
+                    sv[k][:] = vp2[k]
+                    stx[k][:] = txp2[k]
+                    stv[k][:] = tvp2[k]
+                hfin_ref[:] = h2
+                thfin_ref[:] = th2
+
+            hblock = jax.ShapeDtypeStruct((depth, Bc, N, F), jnp.float32)
+            bplane = jax.ShapeDtypeStruct((depth, Bc, N, 1), jnp.float32)
+            rstructs = [
+                jax.ShapeDtypeStruct(
+                    s, _resid_dtype_for(nm, resid_dtype, resid_lowp)
+                )
+                for s, nm in resid_shapes
+            ]
+            fwd_outs = pl.pallas_call(
+                fwd_kernel,
+                grid=grid,
+                out_shape=tuple(
+                    [hblock] + [bplane] * 6 + [hblock] + [bplane] * 6
+                    + [jax.ShapeDtypeStruct((Bc, N, F), jnp.float32)] * 2
+                    + rstructs + rstructs
+                ),
+                in_specs=(
+                    [_bspec((Bc, N, 1), ABT)] * 6
+                    + [_bspec((Bc, N, F), ABT), _flag_spec(depth)]
+                    + [_full_spec(e_rep), _full_spec(e_tile)]
+                    + _leaf_specs(leaves)
+                ),
+                out_specs=tuple(
+                    [_dbspec((depth, Bc, N, F), ABT)]
+                    + [_dbspec((depth, Bc, N, 1), ABT)] * 6
+                    + [_dbspec((depth, Bc, N, F), ABT)]
+                    + [_dbspec((depth, Bc, N, 1), ABT)] * 6
+                    + [_bspec((Bc, N, F), ABT)] * 2
+                    + [_dbspec(s, ABT) for s, _ in resid_shapes]
+                    + [_dbspec(s, ABT) for s, _ in resid_shapes]
+                ),
+                scratch_shapes=[pltpu.VMEM((ABT, N, F), jnp.float32)] * 2
+                + [pltpu.VMEM((ABT, N, 1), jnp.float32)] * 12,
+                compiler_params=_compiler_params(),
+                interpret=interpret,
+            )(*x_planes, *t_planes, h0, upd_flags, e_rep, e_tile, *leaves)
+            boundary = fwd_outs[:14]
+            h_fin, th_fin = fwd_outs[14], fwd_outs[15]
+            resid_arrays = fwd_outs[16 : 16 + n_resid]
+            tresid_arrays = fwd_outs[16 + n_resid :]
+
+            # --- XLA head: seeds + readout parameter grads ----------------
+            def head(w_out0, b_out0, w_out1, b_out1, hf, thf):
+                def readout_e(h_):
+                    out = mm(
+                        _silu(mm(h_.reshape(Bc * N, F), w_out0) + b_out0),
+                        w_out1,
+                    ) + b_out1
+                    out = out.reshape(Bc, N, -1)
+                    if n_real is not None:
+                        out = out[:, :n_real]
+                    return out.sum(axis=(-2, -1))
+
+                e, e_dot = jax.jvp(readout_e, (hf,), (thf,))
+                return (g_e_c * e).sum() - e_dot.sum()
+
+            head_grads = jax.grad(head, argnums=(0, 1, 2, 3, 4, 5))(
+                params.w_out0, params.b_out0, params.w_out1, params.b_out1,
+                h_fin, th_fin,
+            )
+            d_wo0, d_bo0, d_wo1, d_bo1, dh_fin, dth_fin = head_grads
+
+            # --- aug backward: 3 backward-equivalents on saved residuals --
+            def bwd_kernel(*refs):
+                brefs = refs[:14]
+                dhf_ref, dthf_ref, updr, err, etr = refs[14:19]
+                lrefs = refs[19 : 19 + len(leaves)]
+                o = 19 + len(leaves)
+                rrefs = refs[o : o + n_resid]
+                trrefs = refs[o + n_resid : o + 2 * n_resid]
+                o = o + 2 * n_resid
+                outs = refs[o : o + 5]
+                grefs = refs[o + 5 : o + 5 + len(leaves)]
+                scr = refs[o + 5 + len(leaves) :]
+                sdh, sdth = scr[0], scr[1]
+                sdx = scr[2:5]
+                sdv = scr[5:8]
+                sdtx = scr[8:11]
+                sdtv = scr[11:14]
+
+                b = pl.program_id(0)
+                t = pl.program_id(1)
+
+                @pl.when(jnp.logical_and(b == 0, t == 0))
+                def _():
+                    for gr in grefs:
+                        gr[:] = jnp.zeros_like(gr)
+
+                @pl.when(t == 0)
+                def _():
+                    sdh[:] = dhf_ref[:]
+                    sdth[:] = dthf_ref[:]
+                    zero = jnp.zeros((ABT, N, 1), jnp.float32)
+                    for k in range(3):
+                        sdx[k][:] = zero
+                        sdv[k][:] = zero
+                        sdtx[k][:] = zero
+                        sdtv[k][:] = zero
+
+                h_in = brefs[0][0]
+                xp_in = [brefs[1 + k][0] for k in range(3)]
+                vp_in = [brefs[4 + k][0] for k in range(3)]
+                th_in = brefs[7][0]
+                txp_in = [brefs[8 + k][0] for k in range(3)]
+                tvp_in = [brefs[11 + k][0] for k in range(3)]
+
+                resid = {
+                    nm: rr[0].astype(jnp.float32)
+                    for (_, nm), rr in zip(resid_shapes, rrefs)
+                }
+                tresid = {
+                    nm: rr[0].astype(jnp.float32)
+                    for (_, nm), rr in zip(resid_shapes, trrefs)
+                }
+
+                i = depth - 1 - t
+                upd = updr[i, 0]
+                p = read_p(lrefs)
+                kw = dict(
+                    e_rep=err[:], e_tile=etr[:], mm=mm, mm_edge=mm_edge,
+                    n_real=n_real, mm_t=mm_t, mm_edge_t=mm_edge_t,
+                    want_param_grads=True,
+                )
+
+                # J^T c_p + (d_p L)^T c_p
+                dh_a, dxp_a, dvp_a, dW_a = layer_bwd_resid(
+                    p, resid, h_in, xp_in, vp_in, upd,
+                    sdh[:], [sdx[k][:] for k in range(3)],
+                    [sdv[k][:] for k in range(3)], **kw
+                )
+
+                # primal of the jvp = J^T c_t (tangent-cotangent chain);
+                # tangent of the jvp = the two Hessian terms. The primal
+                # dW ((d_p L)^T c_t) is NOT a term of dp — unused, DCE'd.
+                ct_h = sdth[:]
+                ct_x = [sdtx[k][:] for k in range(3)]
+                ct_v = [sdtv[k][:] for k in range(3)]
+
+                def bwd_fn(resid_, h_, xp_, vp_):
+                    return layer_bwd_resid(
+                        p, resid_, h_, xp_, vp_, upd, ct_h, ct_x, ct_v, **kw
+                    )
+
+                ((dth2, dtxp2, dtvp2, _dW_unused), (hc, xc, vc, dW_t)) = (
+                    jax.jvp(
+                        bwd_fn,
+                        (resid, h_in, xp_in, vp_in),
+                        (tresid, th_in, txp_in, tvp_in),
+                    )
+                )
+
+                for nm, gr in zip(_LEAF_NAMES, grefs):
+                    gr[i] += dW_a[nm] + dW_t[nm]
+                dh2 = dh_a + hc
+                dxp2 = [dxp_a[k] + xc[k] for k in range(3)]
+                dvp2 = [dvp_a[k] + vc[k] for k in range(3)]
+                sdh[:] = dh2
+                sdth[:] = dth2
+                for k in range(3):
+                    sdx[k][:] = dxp2[k]
+                    sdv[k][:] = dvp2[k]
+                    sdtx[k][:] = dtxp2[k]
+                    sdtv[k][:] = dtvp2[k]
+                outs[0][:] = dh2
+                outs[1][:] = dxp2[0]
+                outs[2][:] = dxp2[1]
+                outs[3][:] = dxp2[2]
+                outs[4][:] = dth2
+
+            plane = jax.ShapeDtypeStruct((Bc, N, 1), jnp.float32)
+            gspec = [
+                pl.BlockSpec(
+                    a.shape, (lambda bb, dd, nd=a.ndim: (0,) * nd),
+                    memory_space=pltpu.VMEM,
+                )
+                for a in leaves
+            ]
+            outs = pl.pallas_call(
+                bwd_kernel,
+                grid=grid,
+                out_shape=tuple(
+                    [jax.ShapeDtypeStruct((Bc, N, F), jnp.float32)]
+                    + [plane] * 3
+                    + [jax.ShapeDtypeStruct((Bc, N, F), jnp.float32)]
+                    + [
+                        jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                        for a in leaves
+                    ]
+                ),
+                in_specs=(
+                    [_dbspec((depth, Bc, N, F), ABT, rev_depth=depth)]
+                    + [_dbspec((depth, Bc, N, 1), ABT, rev_depth=depth)] * 6
+                    + [_dbspec((depth, Bc, N, F), ABT, rev_depth=depth)]
+                    + [_dbspec((depth, Bc, N, 1), ABT, rev_depth=depth)] * 6
+                    + [_bspec((Bc, N, F), ABT)] * 2
+                    + [_flag_spec(depth)]
+                    + [_full_spec(e_rep), _full_spec(e_tile)]
+                    + _leaf_specs(leaves, rev_depth=depth)
+                    + [
+                        _dbspec(s, ABT, rev_depth=depth)
+                        for s, _ in resid_shapes
+                    ]
+                    + [
+                        _dbspec(s, ABT, rev_depth=depth)
+                        for s, _ in resid_shapes
+                    ]
+                ),
+                out_specs=tuple(
+                    [_bspec((Bc, N, F), ABT)]
+                    + [_bspec((Bc, N, 1), ABT)] * 3
+                    + [_bspec((Bc, N, F), ABT)]
+                    + gspec
+                ),
+                scratch_shapes=[pltpu.VMEM((ABT, N, F), jnp.float32)] * 2
+                + [pltpu.VMEM((ABT, N, 1), jnp.float32)] * 12,
+                compiler_params=_compiler_params(
+                    vmem_limit=_AUG_BWD_VMEM
+                ),
+                interpret=interpret,
+            )(*boundary, dh_fin, dth_fin, upd_flags, e_rep, e_tile, *leaves,
+              *resid_arrays, *tresid_arrays)
+            return (
+                outs[0], outs[1], outs[2], outs[3],
+                d_wo0, d_bo0, d_wo1, d_bo1, *outs[5:],
+            )
+
+        ca = aug_chunk
+        if ca is not None and B > ca and B % ca == 0 and ca % ABT == 0:
+            nc = B // ca
+            xs = (
+                h0_full.reshape(nc, ca, N, F),
+                *[p_.reshape(nc, ca, N, 1) for p_ in xp_full],
+                *[p_.reshape(nc, ca, N, 1) for p_ in tp_full],
+                g_e.reshape(nc, ca),
+            )
+            res = jax.lax.map(
+                lambda a: _pipe(a[0], [a[1], a[2], a[3]],
+                                [a[4], a[5], a[6]], a[7]),
+                xs,
+            )
+            dh0 = res[0].reshape(B, N, F)
+            dxp = [r.reshape(B, N, 1) for r in res[1:4]]
+            d_wo0, d_bo0, d_wo1, d_bo1 = (r.sum(axis=0) for r in res[4:8])
+            leaf_list = [r.sum(axis=0) for r in res[8:]]
+        else:
+            res = _pipe(h0_full, xp_full, tp_full, g_e)
+            dh0 = res[0]
+            dxp = list(res[1:4])
+            d_wo0, d_bo0, d_wo1, d_bo1 = res[4:8]
+            leaf_list = list(res[8:])
+        leaf_grads = dict(zip(_LEAF_NAMES, leaf_list))
+
+        # --- embedding pullback + pytree assembly (XLA) ---------------------
+        dh0_2d = dh0.reshape(B * N, F)
+        d_we = jax.lax.dot_general(
+            h.reshape(B * N, F_in), dh0_2d,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d_be = dh0_2d.sum(axis=0)
+        d_h = (dh0_2d @ params.w_embed.T).reshape(B, N, F_in)
+        d_x = jnp.concatenate(dxp, axis=-1)
+        if n_real is not None:
+            d_h = d_h[:, :n_real]
+            d_x = d_x[:, :n_real]
+        d_layers = tuple(
+            unsplit_layer_grads(
+                {nm: leaf_grads[nm][i] for nm in _LEAF_NAMES}
+            )
+            for i in range(depth)
+        )
+        d_params = ModelParams(
+            w_embed=d_we, b_embed=d_be, layers=d_layers,
+            w_out0=d_wo0, b_out0=d_bo0, w_out1=d_wo1, b_out1=d_bo1,
+        )
+        return d_params, d_h, d_x
+
+    # ------------------------------------------------------------------
+    # aug_mode="shared": the primal streams residuals + boundary states
+    # ONCE and saves them across the custom_vjp boundary; the training
+    # backward is then a hand-written tangent-only forward
+    # (``layer_jvp_resid``, ~1 forward-equivalent — no primal recompute)
+    # plus the same 3-backward aug pullback as aug_mode="resid". Whole
+    # batch, unchunked: residuals live in HBM between primal and
+    # backward (~3.4 MB/eval at bf16 — batch <= ~1024 on a 16G chip).
+    # ------------------------------------------------------------------
+
+    def _shared_prep(params, h, x):
+        B, N0, F_in = h.shape
+        n_real = None
+        if pad_atoms and N0 % 8:
+            n_real = N0
+            n_pad = (-N0) % 8
+            h = jnp.pad(h, ((0, 0), (0, n_pad), (0, 0)))
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
+        N = h.shape[1]
+        if B % BT_P or B % ABT:
+            raise ValueError(
+                f"batch {B} must divide batch_tile {BT_P} and aug tile {ABT}"
+            )
+        depth = len(params.layers)
+        updates = (
+            [update] * depth if isinstance(update, bool) else list(update)
+        )
+        upd_flags = jnp.asarray(updates, jnp.float32).reshape(depth, 1)
+        F = params.w_embed.shape[-1]
+        lay0 = params.layers[0]
+        C = lay0.w_xmix.shape[-1]
+        e_rep, e_tile = head_expansion_matrices(
+            lay0.edge.w_out0.shape[-1], n_heads
+        )
+        leaves = wide_stack(params, n_heads)
+        ech = _edge_channels(
+            lay0.edge.w_in.shape[-1], lay0.edge.w_out0.shape[-1], n_heads, C
+        )
+        nch = _node_channels(lay0, C)
+        resid_shapes = [
+            ((depth, B, N * N, ech[nm]), nm) for nm in _EDGE_RESIDS
+        ] + [((depth, B, N, nch[nm]), nm) for nm in _NODE_RESIDS]
+        h0 = (
+            mm(h.reshape(B * N, F_in), params.w_embed) + params.b_embed
+        ).reshape(B, N, F)
+        return dict(
+            B=B, N=N, F=F, F_in=F_in, depth=depth, n_real=n_real,
+            upd_flags=upd_flags, e_rep=e_rep, e_tile=e_tile, leaves=leaves,
+            resid_shapes=resid_shapes, h0=h0,
+            x_planes=[x[..., k : k + 1] for k in range(3)],
+        )
+
+    def read_p_(lrefs):
+        return {nm: r[0] for nm, r in zip(_LEAF_NAMES, lrefs)}
+
+    def _shared_readout(params, c, h_fin):
+        B, N, F, n_real = c["B"], c["N"], c["F"], c["n_real"]
+
+        def readout_e(h_):
+            out = mm(
+                _silu(
+                    mm(h_.reshape(B * N, F), params.w_out0) + params.b_out0
+                ),
+                params.w_out1,
+            ) + params.b_out1
+            out = out.reshape(B, N, -1)
+            if n_real is not None:
+                out = out[:, :n_real]
+            return out.sum(axis=(-2, -1))
+
+        return readout_e
+
+    def _shared_primal(params, h, x):
+        c = _shared_prep(params, h, x)
+        B, N, F, depth = c["B"], c["N"], c["F"], c["depth"]
+        leaves, resid_shapes = c["leaves"], c["resid_shapes"]
+        n_resid = len(resid_shapes)
+        n_real = c["n_real"]
+        grid = (B // BT_P, depth)
+
+        def fwd_kernel(*refs):
+            x0r, x1r, x2r, hr, updr, err, etr = refs[:7]
+            lrefs = refs[7 : 7 + len(leaves)]
+            o = 7 + len(leaves)
+            brefs = refs[o : o + 7]
+            hfin_ref = refs[o + 7]
+            rrefs = refs[o + 8 : o + 8 + n_resid]
+            scr = refs[o + 8 + n_resid :]
+            sh = scr[0]
+            sx = scr[1:4]
+            sv = scr[4:7]
+            d = pl.program_id(1)
+
+            @pl.when(d == 0)
+            def _():
+                sh[:] = hr[:]
+                for k, xr in enumerate((x0r, x1r, x2r)):
+                    sx[k][:] = xr[:]
+                    sv[k][:] = jnp.zeros_like(xr[:])
+
+            hc = sh[:]
+            xp = [sx[k][:] for k in range(3)]
+            vp = [sv[k][:] for k in range(3)]
+            for br, val in zip(brefs, [hc] + xp + vp):
+                br[0] = val
+            h2, xp2, vp2, resid = layer_fwd_resid(
+                read_p_(lrefs), hc, xp, vp, updr[d, 0],
+                e_rep=err[:], e_tile=etr[:], mm=mm, mm_edge=mm_edge,
+                n_real=n_real,
+            )
+            for (_, nm), rr in zip(resid_shapes, rrefs):
+                rr[0] = resid[nm].astype(rr.dtype)
+            sh[:] = h2
+            for k in range(3):
+                sx[k][:] = xp2[k]
+                sv[k][:] = vp2[k]
+            hfin_ref[:] = h2
+
+        bplane = jax.ShapeDtypeStruct((depth, B, N, 1), jnp.float32)
+        outs = pl.pallas_call(
+            fwd_kernel,
+            grid=grid,
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((depth, B, N, F), jnp.float32)]
+                + [bplane] * 6
+                + [jax.ShapeDtypeStruct((B, N, F), jnp.float32)]
+                + [
+                    jax.ShapeDtypeStruct(
+                        s, _resid_dtype_for(nm, resid_dtype, resid_lowp)
+                    )
+                    for s, nm in resid_shapes
+                ]
+            ),
+            in_specs=(
+                [_bspec((B, N, 1), BT_P)] * 3
+                + [_bspec((B, N, F), BT_P), _flag_spec(depth)]
+                + [_full_spec(c["e_rep"]), _full_spec(c["e_tile"])]
+                + _leaf_specs(leaves)
+            ),
+            out_specs=tuple(
+                [_dbspec((depth, B, N, F), BT_P)]
+                + [_dbspec((depth, B, N, 1), BT_P)] * 6
+                + [_bspec((B, N, F), BT_P)]
+                + [_dbspec(s, BT_P) for s, _ in resid_shapes]
+            ),
+            scratch_shapes=[pltpu.VMEM((BT_P, N, F), jnp.float32)]
+            + [pltpu.VMEM((BT_P, N, 1), jnp.float32)] * 6,
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(*c["x_planes"], c["h0"], c["upd_flags"], c["e_rep"], c["e_tile"],
+          *leaves)
+        boundary = outs[:7]
+        h_fin = outs[7]
+        resid_arrays = outs[8:]
+
+        e, readout_vjp = jax.vjp(_shared_readout(params, c, h_fin), h_fin)
+        (dh_fin,) = readout_vjp(jnp.ones_like(e))
+
+        # F backward: input-cotangent-only hand-written pullback
+        def fbwd_kernel(*refs):
+            brefs = refs[:7]
+            dhf_ref, updr, err, etr = refs[7:11]
+            lrefs = refs[11 : 11 + len(leaves)]
+            o = 11 + len(leaves)
+            rrefs = refs[o : o + n_resid]
+            dx0_ref, dx1_ref, dx2_ref = refs[o + n_resid : o + n_resid + 3]
+            scr = refs[o + n_resid + 3 :]
+            sdh = scr[0]
+            sdx = scr[1:4]
+            sdv = scr[4:7]
+            t = pl.program_id(1)
+
+            @pl.when(t == 0)
+            def _():
+                sdh[:] = dhf_ref[:]
+                zero = jnp.zeros((BT_P, N, 1), jnp.float32)
+                for k in range(3):
+                    sdx[k][:] = zero
+                    sdv[k][:] = zero
+
+            h_in = brefs[0][0]
+            xp_in = [brefs[1 + k][0] for k in range(3)]
+            vp_in = [brefs[4 + k][0] for k in range(3)]
+            resid = {
+                nm: rr[0].astype(jnp.float32)
+                for (_, nm), rr in zip(resid_shapes, rrefs)
+            }
+            upd = updr[depth - 1 - t, 0]
+            dh2, dxp2, dvp2 = layer_bwd_resid(
+                read_p_(lrefs), resid, h_in, xp_in, vp_in, upd,
+                sdh[:], [sdx[k][:] for k in range(3)],
+                [sdv[k][:] for k in range(3)],
+                e_rep=err[:], e_tile=etr[:], mm=mm, mm_edge=mm_edge,
+                n_real=n_real,
+            )
+            sdh[:] = dh2
+            for k in range(3):
+                sdx[k][:] = dxp2[k]
+                sdv[k][:] = dvp2[k]
+            dx0_ref[:] = dxp2[0]
+            dx1_ref[:] = dxp2[1]
+            dx2_ref[:] = dxp2[2]
+
+        plane = jax.ShapeDtypeStruct((B, N, 1), jnp.float32)
+        dx0, dx1, dx2 = pl.pallas_call(
+            fbwd_kernel,
+            grid=grid,
+            out_shape=(plane, plane, plane),
+            in_specs=(
+                [_dbspec((depth, B, N, F), BT_P, rev_depth=depth)]
+                + [_dbspec((depth, B, N, 1), BT_P, rev_depth=depth)] * 6
+                + [_bspec((B, N, F), BT_P)]
+                + [_flag_spec(depth)]
+                + [_full_spec(c["e_rep"]), _full_spec(c["e_tile"])]
+                + _leaf_specs(leaves, rev_depth=depth)
+                + [_dbspec(s, BT_P, rev_depth=depth) for s, _ in resid_shapes]
+            ),
+            out_specs=(_bspec((B, N, 1), BT_P),) * 3,
+            scratch_shapes=[pltpu.VMEM((BT_P, N, F), jnp.float32)]
+            + [pltpu.VMEM((BT_P, N, 1), jnp.float32)] * 6,
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(*boundary, dh_fin, c["upd_flags"], c["e_rep"], c["e_tile"],
+          *leaves, *resid_arrays)
+        f = -jnp.concatenate([dx0, dx1, dx2], axis=-1)
+        if n_real is not None:
+            f = f[:, :n_real]
+        return (e, f), boundary, h_fin, resid_arrays
+
+    def _shared_bwd(params, h, x, boundary, h_fin, resid_arrays, g_e, g_f):
+        c = _shared_prep(params, h, x)
+        B, N, F, depth = c["B"], c["N"], c["F"], c["depth"]
+        leaves, resid_shapes = c["leaves"], c["resid_shapes"]
+        n_resid = len(resid_shapes)
+        n_real = c["n_real"]
+        if n_real is not None:
+            g_f = jnp.pad(g_f, ((0, 0), (0, N - n_real), (0, 0)))
+        t_planes = [g_f[..., k : k + 1] for k in range(3)]
+        grid = (B // ABT, depth)
+
+        # --- tangent-only forward on saved residuals ----------------------
+        def tfwd_kernel(*refs):
+            brefs = refs[:7]
+            t0r, t1r, t2r, updr, err, etr = refs[7:13]
+            lrefs = refs[13 : 13 + len(leaves)]
+            o = 13 + len(leaves)
+            rrefs = refs[o : o + n_resid]
+            o = o + n_resid
+            tbrefs = refs[o : o + 7]
+            thfin_ref = refs[o + 7]
+            trrefs = refs[o + 8 : o + 8 + n_resid]
+            scr = refs[o + 8 + n_resid :]
+            sth = scr[0]
+            stx = scr[1:4]
+            stv = scr[4:7]
+            d = pl.program_id(1)
+
+            @pl.when(d == 0)
+            def _():
+                sth[:] = jnp.zeros_like(sth)
+                for k, tr in enumerate((t0r, t1r, t2r)):
+                    stx[k][:] = tr[:]
+                    stv[k][:] = jnp.zeros_like(tr[:])
+
+            th = sth[:]
+            txp = [stx[k][:] for k in range(3)]
+            tvp = [stv[k][:] for k in range(3)]
+            for br, val in zip(tbrefs, [th] + txp + tvp):
+                br[0] = val
+            h_in = brefs[0][0]
+            xp_in = [brefs[1 + k][0] for k in range(3)]
+            vp_in = [brefs[4 + k][0] for k in range(3)]
+            resid = {
+                nm: rr[0].astype(jnp.float32)
+                for (_, nm), rr in zip(resid_shapes, rrefs)
+            }
+            th2, txp2, tvp2, tresid = layer_jvp_resid(
+                read_p_(lrefs), resid, h_in, xp_in, vp_in, th, txp, tvp,
+                updr[d, 0],
+                e_rep=err[:], e_tile=etr[:], mm=mm, mm_edge=mm_edge,
+                n_real=n_real,
+            )
+            for (_, nm), rr in zip(resid_shapes, trrefs):
+                rr[0] = tresid[nm].astype(rr.dtype)
+            sth[:] = th2
+            for k in range(3):
+                stx[k][:] = txp2[k]
+                stv[k][:] = tvp2[k]
+            thfin_ref[:] = th2
+
+        bplane = jax.ShapeDtypeStruct((depth, B, N, 1), jnp.float32)
+        tfwd_outs = pl.pallas_call(
+            tfwd_kernel,
+            grid=grid,
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((depth, B, N, F), jnp.float32)]
+                + [bplane] * 6
+                + [jax.ShapeDtypeStruct((B, N, F), jnp.float32)]
+                + [
+                    jax.ShapeDtypeStruct(
+                        s, _resid_dtype_for(nm, resid_dtype, resid_lowp)
+                    )
+                    for s, nm in resid_shapes
+                ]
+            ),
+            in_specs=(
+                [_dbspec((depth, B, N, F), ABT)]
+                + [_dbspec((depth, B, N, 1), ABT)] * 6
+                + [_bspec((B, N, 1), ABT)] * 3
+                + [_flag_spec(depth)]
+                + [_full_spec(c["e_rep"]), _full_spec(c["e_tile"])]
+                + _leaf_specs(leaves)
+                + [_dbspec(s, ABT) for s, _ in resid_shapes]
+            ),
+            out_specs=tuple(
+                [_dbspec((depth, B, N, F), ABT)]
+                + [_dbspec((depth, B, N, 1), ABT)] * 6
+                + [_bspec((B, N, F), ABT)]
+                + [_dbspec(s, ABT) for s, _ in resid_shapes]
+            ),
+            scratch_shapes=[pltpu.VMEM((ABT, N, F), jnp.float32)]
+            + [pltpu.VMEM((ABT, N, 1), jnp.float32)] * 6,
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(*boundary, *t_planes, c["upd_flags"], c["e_rep"], c["e_tile"],
+          *leaves, *resid_arrays)
+        tboundary = tfwd_outs[:7]
+        th_fin = tfwd_outs[7]
+        tresid_arrays = tfwd_outs[8:]
+
+        # --- seeds + readout parameter grads ------------------------------
+        def head(w_out0, b_out0, w_out1, b_out1, hf, thf):
+            def readout_e(h_):
+                out = mm(
+                    _silu(mm(h_.reshape(B * N, F), w_out0) + b_out0), w_out1
+                ) + b_out1
+                out = out.reshape(B, N, -1)
+                if n_real is not None:
+                    out = out[:, :n_real]
+                return out.sum(axis=(-2, -1))
+
+            e, e_dot = jax.jvp(readout_e, (hf,), (thf,))
+            return (g_e * e).sum() - e_dot.sum()
+
+        head_grads = jax.grad(head, argnums=(0, 1, 2, 3, 4, 5))(
+            params.w_out0, params.b_out0, params.w_out1, params.b_out1,
+            h_fin, th_fin,
+        )
+        d_wo0, d_bo0, d_wo1, d_bo1, dh_fin, dth_fin = head_grads
+
+        # --- aug backward (same 3-backward scheme as aug_mode="resid") ----
+        def bwd_kernel(*refs):
+            brefs = refs[:7]
+            tbrefs = refs[7:14]
+            dhf_ref, dthf_ref, updr, err, etr = refs[14:19]
+            lrefs = refs[19 : 19 + len(leaves)]
+            o = 19 + len(leaves)
+            rrefs = refs[o : o + n_resid]
+            trrefs = refs[o + n_resid : o + 2 * n_resid]
+            o = o + 2 * n_resid
+            outs = refs[o : o + 5]
+            grefs = refs[o + 5 : o + 5 + len(leaves)]
+            scr = refs[o + 5 + len(leaves) :]
+            sdh, sdth = scr[0], scr[1]
+            sdx = scr[2:5]
+            sdv = scr[5:8]
+            sdtx = scr[8:11]
+            sdtv = scr[11:14]
+
+            b = pl.program_id(0)
+            t = pl.program_id(1)
+
+            @pl.when(jnp.logical_and(b == 0, t == 0))
+            def _():
+                for gr in grefs:
+                    gr[:] = jnp.zeros_like(gr)
+
+            @pl.when(t == 0)
+            def _():
+                sdh[:] = dhf_ref[:]
+                sdth[:] = dthf_ref[:]
+                zero = jnp.zeros((ABT, N, 1), jnp.float32)
+                for k in range(3):
+                    sdx[k][:] = zero
+                    sdv[k][:] = zero
+                    sdtx[k][:] = zero
+                    sdtv[k][:] = zero
+
+            h_in = brefs[0][0]
+            xp_in = [brefs[1 + k][0] for k in range(3)]
+            vp_in = [brefs[4 + k][0] for k in range(3)]
+            th_in = tbrefs[0][0]
+            txp_in = [tbrefs[1 + k][0] for k in range(3)]
+            tvp_in = [tbrefs[4 + k][0] for k in range(3)]
+            resid = {
+                nm: rr[0].astype(jnp.float32)
+                for (_, nm), rr in zip(resid_shapes, rrefs)
+            }
+            tresid = {
+                nm: rr[0].astype(jnp.float32)
+                for (_, nm), rr in zip(resid_shapes, trrefs)
+            }
+
+            i = depth - 1 - t
+            upd = updr[i, 0]
+            p = read_p_(lrefs)
+            kw = dict(
+                e_rep=err[:], e_tile=etr[:], mm=mm, mm_edge=mm_edge,
+                n_real=n_real, mm_t=mm_t, mm_edge_t=mm_edge_t,
+                want_param_grads=True,
+            )
+
+            dh_a, dxp_a, dvp_a, dW_a = layer_bwd_resid(
+                p, resid, h_in, xp_in, vp_in, upd,
+                sdh[:], [sdx[k][:] for k in range(3)],
+                [sdv[k][:] for k in range(3)], **kw
+            )
+
+            ct_h = sdth[:]
+            ct_x = [sdtx[k][:] for k in range(3)]
+            ct_v = [sdtv[k][:] for k in range(3)]
+
+            def bwd_fn(resid_, h_, xp_, vp_):
+                return layer_bwd_resid(
+                    p, resid_, h_, xp_, vp_, upd, ct_h, ct_x, ct_v, **kw
+                )
+
+            ((dth2, dtxp2, dtvp2, _dW_unused), (hc, xc, vc, dW_t)) = (
+                jax.jvp(
+                    bwd_fn,
+                    (resid, h_in, xp_in, vp_in),
+                    (tresid, th_in, txp_in, tvp_in),
+                )
+            )
+
+            for nm, gr in zip(_LEAF_NAMES, grefs):
+                gr[i] += dW_a[nm] + dW_t[nm]
+            dh2 = dh_a + hc
+            dxp2 = [dxp_a[k] + xc[k] for k in range(3)]
+            dvp2 = [dvp_a[k] + vc[k] for k in range(3)]
+            sdh[:] = dh2
+            sdth[:] = dth2
+            for k in range(3):
+                sdx[k][:] = dxp2[k]
+                sdv[k][:] = dvp2[k]
+                sdtx[k][:] = dtxp2[k]
+                sdtv[k][:] = dtvp2[k]
+            outs[0][:] = dh2
+            outs[1][:] = dxp2[0]
+            outs[2][:] = dxp2[1]
+            outs[3][:] = dxp2[2]
+            outs[4][:] = dth2
+
+        plane = jax.ShapeDtypeStruct((B, N, 1), jnp.float32)
+        gspec = [
+            pl.BlockSpec(
+                a.shape, (lambda bb, dd, nd=a.ndim: (0,) * nd),
+                memory_space=pltpu.VMEM,
+            )
+            for a in leaves
+        ]
+        outs = pl.pallas_call(
+            bwd_kernel,
+            grid=grid,
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((B, N, F), jnp.float32)]
+                + [plane] * 3
+                + [jax.ShapeDtypeStruct((B, N, F), jnp.float32)]
+                + [
+                    jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                    for a in leaves
+                ]
+            ),
+            in_specs=(
+                [_dbspec((depth, B, N, F), ABT, rev_depth=depth)]
+                + [_dbspec((depth, B, N, 1), ABT, rev_depth=depth)] * 6
+                + [_dbspec((depth, B, N, F), ABT, rev_depth=depth)]
+                + [_dbspec((depth, B, N, 1), ABT, rev_depth=depth)] * 6
+                + [_bspec((B, N, F), ABT)] * 2
+                + [_flag_spec(depth)]
+                + [_full_spec(c["e_rep"]), _full_spec(c["e_tile"])]
+                + _leaf_specs(leaves, rev_depth=depth)
+                + [
+                    _dbspec(s, ABT, rev_depth=depth)
+                    for s, _ in resid_shapes
+                ]
+                + [
+                    _dbspec(s, ABT, rev_depth=depth)
+                    for s, _ in resid_shapes
+                ]
+            ),
+            out_specs=tuple(
+                [_bspec((B, N, F), ABT)]
+                + [_bspec((B, N, 1), ABT)] * 3
+                + [_bspec((B, N, F), ABT)]
+                + gspec
+            ),
+            scratch_shapes=[pltpu.VMEM((ABT, N, F), jnp.float32)] * 2
+            + [pltpu.VMEM((ABT, N, 1), jnp.float32)] * 12,
+            compiler_params=_compiler_params(vmem_limit=_AUG_BWD_VMEM),
+            interpret=interpret,
+        )(*boundary, *tboundary, dh_fin, dth_fin, c["upd_flags"],
+          c["e_rep"], c["e_tile"], *leaves, *resid_arrays, *tresid_arrays)
+        dh0 = outs[0]
+        dxp = outs[1:4]
+        leaf_grads = dict(zip(_LEAF_NAMES, outs[5:]))
+
+        dh0_2d = dh0.reshape(B * N, F)
+        F_in = c["F_in"]
+        h_p = h
+        if n_real is not None:
+            h_p = jnp.pad(h, ((0, 0), (0, N - n_real), (0, 0)))
+        d_we = jax.lax.dot_general(
+            h_p.reshape(B * N, F_in), dh0_2d,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d_be = dh0_2d.sum(axis=0)
+        d_h = (dh0_2d @ params.w_embed.T).reshape(B, N, F_in)
+        d_x = jnp.concatenate(dxp, axis=-1)
+        if n_real is not None:
+            d_h = d_h[:, :n_real]
+            d_x = d_x[:, :n_real]
+        d_layers = tuple(
+            unsplit_layer_grads(
+                {nm: leaf_grads[nm][i] for nm in _LEAF_NAMES}
+            )
+            for i in range(depth)
+        )
+        d_params = ModelParams(
+            w_embed=d_we, b_embed=d_be, layers=d_layers,
+            w_out0=d_wo0, b_out0=d_bo0, w_out1=d_wo1, b_out1=d_bo1,
+        )
+        return d_params, d_h, d_x
+
+    if aug_mode == "shared":
+
+        @jax.custom_vjp
+        def ef_shared(params, h, x):
+            (e, f), *_ = _shared_primal(params, h, x)
+            return e, f
+
+        def ef_shared_fwd(params, h, x):
+            (e, f), boundary, h_fin, resid_arrays = _shared_primal(
+                params, h, x
+            )
+            return (e, f), (
+                params, h, x, tuple(boundary), h_fin, tuple(resid_arrays)
+            )
+
+        def ef_shared_bwd(saved, cots):
+            params, h, x, boundary, h_fin, resid_arrays = saved
+            g_e, g_f = cots
+            return _shared_bwd(
+                params, h, x, boundary, h_fin, resid_arrays, g_e, g_f
+            )
+
+        ef_shared.defvjp(ef_shared_fwd, ef_shared_bwd)
+        return ef_shared
+
     @jax.custom_vjp
     def ef(params, h, x):
         return primal_fn(params, h, x)
@@ -427,6 +1446,8 @@ def make_ef_train2(
         g_e, g_f = cots
         # F = -dE/dx: <gF, dF> = -d[jvp_{gF}(sum E)] — the minus lives in
         # the head's ``- e_dot`` term, so the tangent seed is +g_f.
+        if aug_mode == "resid":
+            return _aug_grad_resid(params, h, x, g_e, g_f)
         return _aug_grad(params, h, x, g_e, g_f)
 
     ef.defvjp(ef_fwd, ef_bwd)

@@ -55,12 +55,17 @@ class MD17Config:
     seed: int = 2666
     # Second-order Pallas kernel path (kernels/train2_ef): the fused E+F
     # primal runs on the residual-streaming kernels and the force-loss
-    # training gradient on the JVP-augmented kernel pair — measured 2.4x
+    # training gradient on the JVP-augmented kernel pair — measured 2.56x
     # the lax double-autodiff step (BENCH_TRAIN_MD17.json). Training
     # state becomes the functional ModelParams pytree.
     use_kernel_ef: bool = False
     kernel_batch_tile: int = 8
     aug_batch_tile: int = 4
+    # "shared" streams the primal residuals across the custom_vjp
+    # boundary (no primal recompute in the backward) — the measured
+    # champion (2.56x lax at batch 512); "resid"/"retrace" are the
+    # chunked-pipeline and vjp-retrace fallbacks.
+    aug_mode: str = "shared"
     kernel_interpret: bool = False  # CPU-backend testing
 
 
@@ -148,6 +153,7 @@ def run(cfg: MD17Config, logger: Optional[MetricLogger] = None):
                 jnp.float32 if cfg.kernel_interpret else jnp.bfloat16
             ),
             pad_atoms=True,
+            aug_mode=cfg.aug_mode,
             interpret=cfg.kernel_interpret,
         )
         n_atoms = x_tr.shape[1]

@@ -43,7 +43,7 @@ _REGISTRY: Dict[str, Callable] = {
     "md17": _lazy("md17", "run", "MD17Config"),
     "md17_traj": _lazy("md17", "run", "MD17Config", checkpoint_every_blocks=1),
     # flagship training fully on Pallas kernels: second-order force-loss
-    # gradients via the JVP-augmented pair (2.4x lax; BENCH_TRAIN_MD17)
+    # gradients via the shared-residual aug scheme (2.56x lax; BENCH_TRAIN_MD17)
     "md17_kernel": _lazy("md17", "run", "MD17Config", use_kernel_ef=True),
     "iso17": _lazy("iso17", "run", "ISO17Config"),
     # property regression

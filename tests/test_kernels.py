@@ -697,12 +697,75 @@ def test_resid_kernel_mxu_interpret(setup):
     np.testing.assert_allclose(f, -g, **TOL)
 
 
+@pytest.mark.parametrize(
+    "mode", ["unmasked", "n_real", "masked"]
+)
+def test_layer_jvp_resid_matches_jvp(setup, mode):
+    """The hand-derived tangent-only layer forward (consuming saved
+    primal residuals) must equal ``jax.jvp`` of ``layer_fwd_resid`` —
+    outputs AND the tangent-residual dict. Pure XLA (no Pallas): this is
+    the math contract the shared-mode second-order kernels build on."""
+    from sake_tpu.kernels.depthgrid_ef import (
+        _LEAF_NAMES,
+        _make_mm_prec,
+        wide_stack,
+    )
+    from sake_tpu.kernels.resid_ef import layer_fwd_resid, layer_jvp_resid
+    from sake_tpu.kernels.split_ef import head_expansion_matrices
+
+    model, params, kp, h0b, x0b = setup
+    rng = np.random.RandomState(11)
+    BT, N = 2, 8
+    leaves = wide_stack(kp, 4)
+    p = {nm: a[0] for nm, a in zip(_LEAF_NAMES, leaves)}
+    F = kp.w_embed.shape[-1]
+    e_rep, e_tile = head_expansion_matrices(
+        kp.layers[0].edge.w_out0.shape[-1], 4
+    )
+    mm = _make_mm_prec(None, None)
+    h = jnp.asarray(rng.randn(BT, N, F), jnp.float32)
+    xp = [jnp.asarray(rng.randn(BT, N, 1), jnp.float32) for _ in range(3)]
+    vp = [jnp.asarray(rng.randn(BT, N, 1), jnp.float32) for _ in range(3)]
+    th = jnp.asarray(rng.randn(BT, N, F), jnp.float32)
+    txp = [jnp.asarray(rng.randn(BT, N, 1), jnp.float32) for _ in range(3)]
+    tvp = [jnp.asarray(rng.randn(BT, N, 1), jnp.float32) for _ in range(3)]
+    kw = {}
+    if mode == "n_real":
+        kw = dict(n_real=6)
+    elif mode == "masked":
+        nm_ = (rng.rand(BT, N) > 0.25).astype(np.float32)
+        kw = dict(
+            mask=jnp.asarray(nm_[:, :, None] * nm_[:, None, :])[..., None]
+        )
+
+    def f(h_, xp_, vp_):
+        hh, xx, vv, resid = layer_fwd_resid(
+            p, h_, xp_, vp_, 1.0, e_rep=e_rep, e_tile=e_tile, mm=mm, **kw
+        )
+        return (hh, list(xx), list(vv), resid)
+
+    out, tout = jax.jvp(f, (h, xp, vp), (th, txp, tvp))
+    got = layer_jvp_resid(
+        p, out[3], h, xp, vp, th, txp, tvp, 1.0,
+        e_rep=e_rep, e_tile=e_tile, mm=mm, **kw
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tout), jax.tree_util.tree_leaves(got)
+    ):
+        scale = float(jnp.abs(a).max()) + 1e-8
+        np.testing.assert_allclose(b / scale, a / scale, rtol=2e-5,
+                                   atol=2e-5)
+
+
 @pytest.mark.slow
-def test_train2_second_order_grads(setup):
+@pytest.mark.parametrize("aug_mode", ["retrace", "resid", "shared"])
+def test_train2_second_order_grads(setup, aug_mode):
     """Second-order (force-loss) training on the JVP-augmented kernel
     pair: gradients of a force+energy loss w.r.t. every parameter, h and
     x must match plain lax double autodiff (reference objective:
-    ``scripts/md17/run.py:54-70``)."""
+    ``scripts/md17/run.py:54-70``). Both aug-backward formulations (the
+    vjp-retrace original and the residual-streaming 3-backward scheme,
+    incl. its chunked pipeline) must agree."""
     from sake_tpu.kernels.train2_ef import make_ef_train2
 
     model, params, kp, h, x = setup
@@ -720,7 +783,8 @@ def test_train2_second_order_grads(setup):
 
     ef_k = make_ef_train2(
         n_heads=4, update=True, batch_tile=2, aug_batch_tile=2,
-        pad_atoms=True, chunk=None, interpret=True,
+        pad_atoms=True, chunk=None, aug_mode=aug_mode, aug_chunk=2,
+        interpret=True,
     )
 
     def loss_with(ef):
