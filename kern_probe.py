@@ -139,6 +139,24 @@ def main():
                 batch_parallel=gp, **kw
             )
         )
+    elif impl == "one":
+        from sake_tpu.kernels.one_ef import one_energy_forces
+
+        rd = kv.get("rdtype", "f32")
+        rdt = jnp.float32 if rd == "f32" else jnp.bfloat16
+        from sake_tpu.kernels.resid_ef import _EDGE_RESIDS, _NODE_RESIDS
+        lowp = None
+        if rd == "bf16":  # true all-bf16 scratch (geometry planes too)
+            lowp = set(_EDGE_RESIDS + _NODE_RESIDS)
+        elif rd == "bf16x":  # everything except the geometry planes (r, t)
+            lowp = set(_EDGE_RESIDS + _NODE_RESIDS) - {"r", "t"}
+        vmem = int(kv["vmem"]) * 1024 * 1024 if "vmem" in kv else None
+        ef = jax.jit(
+            lambda p, xx: one_energy_forces(
+                p, h, xx, pad_atoms=pad, resid_dtype=rdt, resid_lowp=lowp,
+                vmem_limit=vmem, **kw
+            )
+        )
     elif impl in ("resid-fwd", "fori-fwd"):
         # TIMING-ONLY: evaluate just the energy output, so XLA dead-code
         # eliminates the backward kernel — isolates the forward half. F is

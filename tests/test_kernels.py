@@ -803,3 +803,60 @@ def test_train2_second_order_grads(setup, aug_mode):
     for a, b in zip(jax.tree_util.tree_leaves(g_ref),
                     jax.tree_util.tree_leaves(g_k)):
         np.testing.assert_allclose(b, a, rtol=2e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_one_kernel_interpret(setup):
+    """Gen-5 single-kernel fused E+F (VMEM-resident residuals, in-kernel
+    readout) must reproduce the lax E and F in interpreter mode — plain,
+    atom-padded, and with a mixed update schedule."""
+    from sake_tpu.kernels.one_ef import one_energy_forces
+
+    model, params, kp, h, x = setup
+
+    def energy(x_):
+        out, _, _ = model.apply(params, h, x_)
+        return out.sum(), out.sum(axis=(-2, -1))
+
+    (_, e_ref), g = jax.value_and_grad(energy, has_aux=True)(x)
+    for kw in (dict(), dict(pad_atoms=True)):
+        e, f = one_energy_forces(kp, h, x, batch_tile=2, interpret=True, **kw)
+        np.testing.assert_allclose(e, e_ref, **TOL)
+        np.testing.assert_allclose(f, -g, **TOL)
+
+    sched = [False, True, False]
+    model3 = SAKEModel(
+        hidden_features=16, out_features=1, depth=3, update=sched
+    )
+    params3 = model3.init(jax.random.PRNGKey(2), h, x)
+    kp3 = model_params_from_linen(params3)
+
+    def energy3(x_):
+        out, _, _ = model3.apply(params3, h, x_)
+        return out.sum(), out.sum(axis=(-2, -1))
+
+    (_, e_ref3), g3 = jax.value_and_grad(energy3, has_aux=True)(x)
+    e3, f3 = one_energy_forces(
+        kp3, h, x, batch_tile=2, update=sched, pad_atoms=True, interpret=True
+    )
+    np.testing.assert_allclose(e3, e_ref3, **TOL)
+    np.testing.assert_allclose(f3, -g3, **TOL)
+
+
+@pytest.mark.slow
+def test_one_kernel_masked_interpret(setup):
+    """Gen-5 fused kernel with an edge mask must match the gen-4 masked
+    path (same layer math, in-kernel masked readout)."""
+    from sake_tpu.kernels.one_ef import one_energy_forces
+    from sake_tpu.kernels.resid_ef import resid_energy_forces
+
+    model, params, kp, h, x = setup
+    rng = np.random.RandomState(11)
+    B, N, _ = h.shape
+    mask, _ = _edge_mask(rng, B, N)
+    e_ref, f_ref = resid_energy_forces(
+        kp, h, x, mask, batch_tile=2, chunk=None, interpret=True
+    )
+    e, f = one_energy_forces(kp, h, x, mask, batch_tile=2, interpret=True)
+    np.testing.assert_allclose(e, e_ref, **TOL)
+    np.testing.assert_allclose(f, f_ref, **TOL)
