@@ -39,11 +39,14 @@ TARGET_EVALS_PER_SEC = 50_000.0
 SWEEP_BATCHES = (512, 1024, 2048)
 OOM_PROBE_BATCH = 4096  # known to exceed device HBM on v5e (16.6G > 15.75G)
 # ";"-separated "<impl>:key=val,..." kern_probe.py configs tried in order.
-# Measured 2026-08-16 (v5e, batch 2048, f_err gate = 2x lax = 7.8e-3):
-#   resid/bf16-resids(exc. r,t) = 23.5k evals/s (f_err 4.4e-3)  <- best
+# Measured 2026-08-16/17 (v5e, batch 2048, f_err gate = 2x lax = 7.8e-3):
+#   one bt=4 (gen-5 1-kernel)   = 23.6k evals/s (f_err 3.5e-3)  <- best
+#   resid/bf16-resids(exc. r,t) = 23.5k (f_err 4.4e-3)
+#   one bt=8 (needs vmem=124)   = 21.1k (f_err 3.5e-3)
 #   fori/default-node/bf16-edge = 19.5k (f_err 4.6e-3)
 #   lax                         =  9.7k
 DEFAULT_KERNEL_VARIANTS = (
+    "one:bt=4,prec=default,edtype=bf16,pad=1,rdtype=bf16x;"
     "resid:bt=8,prec=default,edtype=bf16,pad=1,ch=512,rdtype=bf16x;"
     "fori:bt=8,prec=default,edtype=bf16,pad=1"
 )

@@ -13,6 +13,7 @@ from sake_tpu.kernels.adapter import (
 )
 from sake_tpu.kernels.fused_ef import fused_energy_forces
 from sake_tpu.kernels.fori_ef import fori_energy_forces
+from sake_tpu.kernels.one_ef import one_energy_forces
 from sake_tpu.kernels.resid_ef import make_hidden_fn, resid_energy_forces
 from sake_tpu.kernels.train_ef import make_trainable_energy_forces
 
@@ -26,6 +27,7 @@ __all__ = [
     "layer_params_from_linen",
     "fused_energy_forces",
     "fori_energy_forces",
+    "one_energy_forces",
     "resid_energy_forces",
     "make_hidden_fn",
     "make_trainable_energy_forces",

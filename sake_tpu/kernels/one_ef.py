@@ -215,7 +215,11 @@ def one_energy_forces(
 
         e_blk, readout_vjp = jax.vjp(readout_e, h_fin)
         (dh_fin,) = readout_vjp(jnp.ones_like(e_blk))
-        e_ref[:] = jnp.sum(e_blk, axis=-1, keepdims=True)
+        # energy as a broadcast (BT, N, 1) plane: (BT, 1)-shaped blocks
+        # violate the (8, 128) block rule at batch_tile < 8
+        e_ref[:] = jnp.broadcast_to(
+            jnp.sum(e_blk, axis=-1, keepdims=True)[:, :, None], (BT, N, 1)
+        )
 
         # --- reversed backward on VMEM residuals --------------------------
         def bwd_body(t, carry):
@@ -248,10 +252,7 @@ def one_energy_forces(
     e_out, dx0, dx1, dx2 = pl.pallas_call(
         kernel,
         grid=(B // BT,),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            plane, plane, plane,
-        ),
+        out_shape=(plane, plane, plane, plane),
         in_specs=(
             [_bspec1((B, N, 1), BT)] * 3
             + [_bspec1((B, N, F), BT), flag_spec]
@@ -264,12 +265,7 @@ def one_energy_forces(
                 else []
             )
         ),
-        out_specs=(
-            pl.BlockSpec((BT, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            _bspec1((B, N, 1), BT),
-            _bspec1((B, N, 1), BT),
-            _bspec1((B, N, 1), BT),
-        ),
+        out_specs=(_bspec1((B, N, 1), BT),) * 4,
         scratch_shapes=(
             [pltpu.VMEM((depth, BT, N, F), jnp.float32)]
             + [pltpu.VMEM((depth, BT, N, 1), jnp.float32)] * 6
@@ -284,7 +280,7 @@ def one_energy_forces(
       b_out1, *leaves,
       *([mask_flat, node_mask] if has_mask else []))
 
-    e = e_out.reshape(B)
+    e = e_out[:, 0, 0]
     f = -jnp.concatenate([dx0, dx1, dx2], axis=-1)
     if n_real is not None:
         f = f[:, :n_real]
