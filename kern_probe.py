@@ -151,10 +151,11 @@ def main():
         elif rd == "bf16x":  # everything except the geometry planes (r, t)
             lowp = set(_EDGE_RESIDS + _NODE_RESIDS) - {"r", "t"}
         vmem = int(kv["vmem"]) * 1024 * 1024 if "vmem" in kv else None
+        gp = kv.get("gp", "0") == "1"  # parallel batch grid dim
         ef = jax.jit(
             lambda p, xx: one_energy_forces(
                 p, h, xx, pad_atoms=pad, resid_dtype=rdt, resid_lowp=lowp,
-                vmem_limit=vmem, **kw
+                vmem_limit=vmem, batch_parallel=gp, **kw
             )
         )
     elif impl in ("resid-fwd", "fori-fwd"):

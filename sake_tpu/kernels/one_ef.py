@@ -94,6 +94,7 @@ def one_energy_forces(
     resid_lowp=None,
     pad_atoms: bool = False,
     vmem_limit: int | None = None,
+    batch_parallel: bool = False,
     interpret: bool = False,
 ):
     """Fused single-kernel (E, F) evaluation: ``E (B,)``, ``F = -dE/dx``.
@@ -274,7 +275,11 @@ def one_energy_forces(
                 for s, nm in resid_shapes
             ]
         ),
-        compiler_params=_compiler_params(1, vmem_limit=vmem_limit),
+        # grid steps are fully independent (no carried scratch state), so
+        # "parallel" semantics are always legal here
+        compiler_params=_compiler_params(
+            1, batch_parallel=batch_parallel, vmem_limit=vmem_limit
+        ),
         interpret=interpret,
     )(*x_planes, h0, upd_flags, e_rep, e_tile, w_out0, b_out0, w_out1,
       b_out1, *leaves,
