@@ -27,8 +27,9 @@ import optax
 
 
 def main():
-    # batch 1024 OOMs HBM in shared mode (two whole-batch residual
-    # streams live across the aug backward); 512 is the operating point
+    # shared mode lax.map's its backward over 512-sample chunks of the
+    # chunk-blocked saved streams (train2_ef shared_chunk), so batch
+    # 1024/2048 fit HBM; the lax comparison still tops out at 512
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     # aug_bt=8 VMEM-OOMs the aug backward body (2x block bytes); 4 fits
     aug_bt = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -39,6 +40,9 @@ def main():
     # "retrace": the round-3 vjp(jvp(layer)) re-trace (2.44x).
     aug_mode = sys.argv[3] if len(sys.argv) > 3 else "shared"
     aug_chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 128
+    # shared-mode backward chunk; lax.map chunk slices are materialized
+    # per iteration, so big batches want chunk <= 256 to fit the plan
+    shared_chunk = int(sys.argv[5]) if len(sys.argv) > 5 else 512
 
     from sake_tpu.data.md17 import ASPIRIN_Z
     from sake_tpu.kernels import model_params_from_linen
@@ -71,21 +75,24 @@ def main():
         edge_matmul_dtype=jnp.bfloat16, resid_dtype=jnp.bfloat16,
         pad_atoms=True, chunk=min(batch, 512),
         aug_mode=aug_mode, aug_chunk=min(batch, aug_chunk),
+        shared_chunk=shared_chunk,
     )
 
-    def loss_with(ef):
+    def loss_with(ef, h_, x_, e_tt, f_tt):
         def loss(p):
-            e, f = ef(p, h, x)
-            return jnp.abs(f - f_t).mean() + 1e-3 * jnp.abs(e - e_t).mean()
+            e, f = ef(p, h_, x_)
+            return (
+                jnp.abs(f - f_tt).mean() + 1e-3 * jnp.abs(e - e_tt).mean()
+            )
 
         return loss
 
     tx = optax.adam(1e-4)
 
-    def make_steps(ef):
+    def make_steps(ef, h_, x_, e_tt, f_tt):
         def step(carry, _):
             p, o = carry
-            l, g = jax.value_and_grad(loss_with(ef))(p)
+            l, g = jax.value_and_grad(loss_with(ef, h_, x_, e_tt, f_tt))(p)
             u, o = tx.update(g, o)
             return (optax.apply_updates(p, u), o), l
 
@@ -96,8 +103,8 @@ def main():
 
         return steps
 
-    def measure(ef):
-        steps = make_steps(ef)
+    def measure(ef, bs):
+        steps = make_steps(ef, h[:bs], x[:bs], e_t[:bs], f_t[:bs])
         o = tx.init(kp)
         p2, o2, ls = steps(kp, o)
         jax.block_until_ready(ls)
@@ -110,11 +117,20 @@ def main():
                 + np.asarray(jax.tree.leaves(p2)[0]).ravel()[0]
             )
             reps.append(time.perf_counter() - t0)
-        return 8 * batch / float(np.median(reps))
+        return 8 * bs / float(np.median(reps))
 
     # --- parity gate: the kernel rate only counts if gradients agree -----
-    l_r, g_r = jax.jit(jax.value_and_grad(loss_with(ef_lax)))(kp)
-    l_k, g_k = jax.jit(jax.value_and_grad(loss_with(ef_k)))(kp)
+    # the lax double-autodiff program OOMs HBM above batch 512 (the
+    # kernel path does not) — gate and measure lax at its feasible batch
+    bl = min(batch, 512)
+    l_r, g_r = jax.jit(
+        jax.value_and_grad(loss_with(ef_lax, h[:bl], x[:bl],
+                                     e_t[:bl], f_t[:bl]))
+    )(kp)
+    l_k, g_k = jax.jit(
+        jax.value_and_grad(loss_with(ef_k, h[:bl], x[:bl],
+                                     e_t[:bl], f_t[:bl]))
+    )(kp)
     jax.block_until_ready((g_r, g_k))
     worst = max(
         float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-10))
@@ -123,8 +139,8 @@ def main():
     l_err = abs(float(l_k) - float(l_r)) / (abs(float(l_r)) + 1e-12)
     gate_ok = worst <= 1e-1 and l_err <= 1e-3  # bf16-tier gradient noise
 
-    lax_rate = measure(ef_lax)
-    kern_rate = measure(ef_k) if gate_ok else None
+    lax_rate = measure(ef_lax, bl)
+    kern_rate = measure(ef_k, batch) if gate_ok else None
     ours = max(lax_rate, kern_rate or 0.0)
     print(
         json.dumps(
@@ -138,6 +154,7 @@ def main():
                 "parity_worst_grad_rel": round(worst, 6),
                 "parity_loss_rel": round(l_err, 8),
                 "batch": batch,
+                "lax_batch": bl,
                 "aug_batch_tile": aug_bt,
                 "aug_mode": aug_mode,
                 "order": "second (force-loss) — grad(loss(E, -dE/dx), params)",

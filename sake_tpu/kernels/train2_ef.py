@@ -78,6 +78,24 @@ from sake_tpu.kernels.split_ef import head_expansion_matrices
 _AUG_BWD_VMEM = 117 * 1024 * 1024
 
 
+def _cbspec(shape5, bt, rev_depth=None):
+    """Chunk-blocked ``(nc, depth, ca, ...)`` saved-stream array:
+    ``(1, 1, BT, ...)`` block at (batch, depth) grid position, the batch
+    index split as (chunk, intra-chunk tile). Depth reversed for the
+    consumer-side backward kernel."""
+    ca = shape5[2]
+    tpc = ca // bt
+    nd = len(shape5)
+
+    def imap(b, d, tpc=tpc, nd=nd):
+        i = rev_depth - 1 - d if rev_depth is not None else d
+        return (b // tpc, i, b % tpc) + (0,) * (nd - 3)
+
+    return pl.BlockSpec(
+        (1, 1, bt) + shape5[3:], imap, memory_space=pltpu.VMEM
+    )
+
+
 def _aug_layer(p, upd, e_rep, e_tile, mm, mm_edge, n_real):
     """The JVP-augmented layer map: 14-tuple state in, 14-tuple out."""
 
@@ -113,6 +131,7 @@ def make_ef_train2(
     chunk: int | None = 512,
     aug_mode: str = "resid",
     aug_chunk: int | None = 128,
+    shared_chunk: int | None = 512,
     interpret: bool = False,
 ):
     """Build ``ef(params, h, x) -> (e, f)`` whose primal runs the champion
@@ -143,6 +162,21 @@ def make_ef_train2(
     ``aug_chunk``: batch chunk of the resid aug pipeline (two residual
     streams for a whole chunk live in HBM between aug-fwd and aug-bwd;
     ~7 MB/eval at bf16).
+
+    - ``"shared"`` — the primal itself streams residuals + boundary
+      states and saves them across the ``custom_vjp`` boundary, so the
+      backward runs NO primal recompute: a tangent-only forward
+      (``layer_jvp_resid``) plus the same 3-backward aug pullback.
+
+    ``shared_chunk``: batch chunk of the *shared* backward. The saved
+    primal stream is whole-batch (it must survive to the backward), but
+    the tangent stream's liveness is bounded to one chunk: the primal
+    writes its stream in a chunk-blocked ``(nc, depth, chunk, ...)``
+    layout (pure index-map change — zero extra data movement) and the
+    backward ``lax.map``s the (tangent-fwd, head, aug-bwd) pipeline over
+    chunks, accumulating parameter grads. Unlocks batch >= 1024 (two
+    whole-batch streams OOM HBM). Used only when it divides the batch
+    and both tiles; otherwise the whole batch is one chunk.
     """
     from sake_tpu.kernels.resid_ef import resid_energy_forces
 
@@ -913,14 +947,26 @@ def make_ef_train2(
             lay0.edge.w_in.shape[-1], lay0.edge.w_out0.shape[-1], n_heads, C
         )
         nch = _node_channels(lay0, C)
+        ca = B
+        if (
+            shared_chunk
+            and B > shared_chunk
+            and B % shared_chunk == 0
+            and shared_chunk % BT_P == 0
+            and shared_chunk % ABT == 0
+        ):
+            ca = shared_chunk
+        nc = B // ca
+        # per-chunk (4-D) shapes; the saved arrays are (nc,) + these
         resid_shapes = [
-            ((depth, B, N * N, ech[nm]), nm) for nm in _EDGE_RESIDS
-        ] + [((depth, B, N, nch[nm]), nm) for nm in _NODE_RESIDS]
+            ((depth, ca, N * N, ech[nm]), nm) for nm in _EDGE_RESIDS
+        ] + [((depth, ca, N, nch[nm]), nm) for nm in _NODE_RESIDS]
         h0 = (
             mm(h.reshape(B * N, F_in), params.w_embed) + params.b_embed
         ).reshape(B, N, F)
         return dict(
             B=B, N=N, F=F, F_in=F_in, depth=depth, n_real=n_real,
+            nc=nc, ca=ca,
             upd_flags=upd_flags, e_rep=e_rep, e_tile=e_tile, leaves=leaves,
             resid_shapes=resid_shapes, h0=h0,
             x_planes=[x[..., k : k + 1] for k in range(3)],
@@ -949,6 +995,7 @@ def make_ef_train2(
     def _shared_primal(params, h, x):
         c = _shared_prep(params, h, x)
         B, N, F, depth = c["B"], c["N"], c["F"], c["depth"]
+        nc, ca = c["nc"], c["ca"]
         leaves, resid_shapes = c["leaves"], c["resid_shapes"]
         n_resid = len(resid_shapes)
         n_real = c["n_real"]
@@ -978,31 +1025,32 @@ def make_ef_train2(
             xp = [sx[k][:] for k in range(3)]
             vp = [sv[k][:] for k in range(3)]
             for br, val in zip(brefs, [hc] + xp + vp):
-                br[0] = val
+                br[0, 0] = val
             h2, xp2, vp2, resid = layer_fwd_resid(
                 read_p_(lrefs), hc, xp, vp, updr[d, 0],
                 e_rep=err[:], e_tile=etr[:], mm=mm, mm_edge=mm_edge,
                 n_real=n_real,
             )
             for (_, nm), rr in zip(resid_shapes, rrefs):
-                rr[0] = resid[nm].astype(rr.dtype)
+                rr[0, 0] = resid[nm].astype(rr.dtype)
             sh[:] = h2
             for k in range(3):
                 sx[k][:] = xp2[k]
                 sv[k][:] = vp2[k]
             hfin_ref[:] = h2
 
-        bplane = jax.ShapeDtypeStruct((depth, B, N, 1), jnp.float32)
+        bplane = jax.ShapeDtypeStruct((nc, depth, ca, N, 1), jnp.float32)
         outs = pl.pallas_call(
             fwd_kernel,
             grid=grid,
             out_shape=tuple(
-                [jax.ShapeDtypeStruct((depth, B, N, F), jnp.float32)]
+                [jax.ShapeDtypeStruct((nc, depth, ca, N, F), jnp.float32)]
                 + [bplane] * 6
                 + [jax.ShapeDtypeStruct((B, N, F), jnp.float32)]
                 + [
                     jax.ShapeDtypeStruct(
-                        s, _resid_dtype_for(nm, resid_dtype, resid_lowp)
+                        (nc, *s),
+                        _resid_dtype_for(nm, resid_dtype, resid_lowp),
                     )
                     for s, nm in resid_shapes
                 ]
@@ -1014,10 +1062,10 @@ def make_ef_train2(
                 + _leaf_specs(leaves)
             ),
             out_specs=tuple(
-                [_dbspec((depth, B, N, F), BT_P)]
-                + [_dbspec((depth, B, N, 1), BT_P)] * 6
+                [_cbspec((nc, depth, ca, N, F), BT_P)]
+                + [_cbspec((nc, depth, ca, N, 1), BT_P)] * 6
                 + [_bspec((B, N, F), BT_P)]
-                + [_dbspec(s, BT_P) for s, _ in resid_shapes]
+                + [_cbspec((nc, *s), BT_P) for s, _ in resid_shapes]
             ),
             scratch_shapes=[pltpu.VMEM((BT_P, N, F), jnp.float32)]
             + [pltpu.VMEM((BT_P, N, 1), jnp.float32)] * 6,
@@ -1054,11 +1102,11 @@ def make_ef_train2(
                     sdx[k][:] = zero
                     sdv[k][:] = zero
 
-            h_in = brefs[0][0]
-            xp_in = [brefs[1 + k][0] for k in range(3)]
-            vp_in = [brefs[4 + k][0] for k in range(3)]
+            h_in = brefs[0][0, 0]
+            xp_in = [brefs[1 + k][0, 0] for k in range(3)]
+            vp_in = [brefs[4 + k][0, 0] for k in range(3)]
             resid = {
-                nm: rr[0].astype(jnp.float32)
+                nm: rr[0, 0].astype(jnp.float32)
                 for (_, nm), rr in zip(resid_shapes, rrefs)
             }
             upd = updr[depth - 1 - t, 0]
@@ -1083,13 +1131,18 @@ def make_ef_train2(
             grid=grid,
             out_shape=(plane, plane, plane),
             in_specs=(
-                [_dbspec((depth, B, N, F), BT_P, rev_depth=depth)]
-                + [_dbspec((depth, B, N, 1), BT_P, rev_depth=depth)] * 6
+                [_cbspec((nc, depth, ca, N, F), BT_P, rev_depth=depth)]
+                + [
+                    _cbspec((nc, depth, ca, N, 1), BT_P, rev_depth=depth)
+                ] * 6
                 + [_bspec((B, N, F), BT_P)]
                 + [_flag_spec(depth)]
                 + [_full_spec(c["e_rep"]), _full_spec(c["e_tile"])]
                 + _leaf_specs(leaves, rev_depth=depth)
-                + [_dbspec(s, BT_P, rev_depth=depth) for s, _ in resid_shapes]
+                + [
+                    _cbspec((nc, *s), BT_P, rev_depth=depth)
+                    for s, _ in resid_shapes
+                ]
             ),
             out_specs=(_bspec((B, N, 1), BT_P),) * 3,
             scratch_shapes=[pltpu.VMEM((BT_P, N, F), jnp.float32)]
@@ -1103,15 +1156,17 @@ def make_ef_train2(
             f = f[:, :n_real]
         return (e, f), boundary, h_fin, resid_arrays
 
-    def _shared_bwd(params, h, x, boundary, h_fin, resid_arrays, g_e, g_f):
-        c = _shared_prep(params, h, x)
-        B, N, F, depth = c["B"], c["N"], c["F"], c["depth"]
+    # One chunk of the shared backward: tangent-only forward -> head seeds
+    # -> aug backward. ``_shared_bwd`` maps this over the saved streams'
+    # chunk axis so only ONE chunk's tangent stream is live in HBM at a
+    # time. From this body's view the chunk IS the batch (``B = ca``).
+    def _shared_bwd_chunk(params, c, boundary, resid_arrays, h_fin, g_e,
+                          t_planes):
+        B = c["ca"]
+        N, F, depth = c["N"], c["F"], c["depth"]
         leaves, resid_shapes = c["leaves"], c["resid_shapes"]
         n_resid = len(resid_shapes)
         n_real = c["n_real"]
-        if n_real is not None:
-            g_f = jnp.pad(g_f, ((0, 0), (0, N - n_real), (0, 0)))
-        t_planes = [g_f[..., k : k + 1] for k in range(3)]
         grid = (B // ABT, depth)
 
         # --- tangent-only forward on saved residuals ----------------------
@@ -1377,9 +1432,40 @@ def make_ef_train2(
             interpret=interpret,
         )(*boundary, *tboundary, dh_fin, dth_fin, c["upd_flags"],
           c["e_rep"], c["e_tile"], *leaves, *resid_arrays, *tresid_arrays)
-        dh0 = outs[0]
-        dxp = outs[1:4]
-        leaf_grads = dict(zip(_LEAF_NAMES, outs[5:]))
+        # (dh0, dx0, dx1, dx2, head grads, per-leaf stacked param grads)
+        return (
+            outs[0], outs[1], outs[2], outs[3],
+            d_wo0, d_bo0, d_wo1, d_bo1, *outs[5:],
+        )
+
+    def _shared_bwd(params, h, x, boundary, h_fin, resid_arrays, g_e, g_f):
+        c = _shared_prep(params, h, x)
+        B, N, F, depth = c["B"], c["N"], c["F"], c["depth"]
+        nc, ca = c["nc"], c["ca"]
+        n_resid = len(c["resid_shapes"])
+        n_real = c["n_real"]
+        if n_real is not None:
+            g_f = jnp.pad(g_f, ((0, 0), (0, N - n_real), (0, 0)))
+        t_planes = [
+            g_f[..., k : k + 1].reshape(nc, ca, N, 1) for k in range(3)
+        ]
+        res = jax.lax.map(
+            lambda ops: _shared_bwd_chunk(
+                params, c, ops[:7], ops[7 : 7 + n_resid],
+                ops[7 + n_resid], ops[8 + n_resid], ops[9 + n_resid :],
+            ),
+            (
+                *boundary, *resid_arrays,
+                h_fin.reshape(nc, ca, N, F), g_e.reshape(nc, ca),
+                *t_planes,
+            ),
+        )
+        dh0 = res[0].reshape(B, N, F)
+        dxp = [r.reshape(B, N, 1) for r in res[1:4]]
+        d_wo0, d_bo0, d_wo1, d_bo1 = (r.sum(axis=0) for r in res[4:8])
+        leaf_grads = dict(
+            zip(_LEAF_NAMES, (r.sum(axis=0) for r in res[8:]))
+        )
 
         dh0_2d = dh0.reshape(B * N, F)
         F_in = c["F_in"]

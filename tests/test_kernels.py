@@ -758,7 +758,9 @@ def test_layer_jvp_resid_matches_jvp(setup, mode):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("aug_mode", ["retrace", "resid", "shared"])
+@pytest.mark.parametrize(
+    "aug_mode", ["retrace", "resid", "shared", "shared-chunked"]
+)
 def test_train2_second_order_grads(setup, aug_mode):
     """Second-order (force-loss) training on the JVP-augmented kernel
     pair: gradients of a force+energy loss w.r.t. every parameter, h and
@@ -781,9 +783,13 @@ def test_train2_second_order_grads(setup, aug_mode):
         g, e = jax.grad(e_fn, has_aux=True)(x_)
         return e, -g
 
+    # "shared-chunked": shared mode with the backward lax.map'd over
+    # 2-sample chunks of the chunk-blocked saved streams (B=4 -> nc=2)
     ef_k = make_ef_train2(
         n_heads=4, update=True, batch_tile=2, aug_batch_tile=2,
-        pad_atoms=True, chunk=None, aug_mode=aug_mode, aug_chunk=2,
+        pad_atoms=True, chunk=None,
+        aug_mode=aug_mode.split("-")[0], aug_chunk=2,
+        shared_chunk=2 if aug_mode == "shared-chunked" else None,
         interpret=True,
     )
 
