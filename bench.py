@@ -189,29 +189,35 @@ def main():
         variants = os.environ.get(
             "SAKE_BENCH_KERNEL_VARIANTS", DEFAULT_KERNEL_VARIANTS
         ).split(";")
-        best_variant = None
+        ranked = []  # (rate, variant) at the base batch
         f_err = None
         for variant in variants:
             res = _kernel_subprocess(batch, variant, kernel_timeout)
             if res is not None:
                 rate, ferr = res
                 sweep[variant] = round(rate, 1)
+                ranked.append((rate, variant))
                 if rate > value:
                     value, impl, f_err = rate, variant, ferr
-                    best_variant = variant
         # the kernel path scales past the lax HBM ceiling (batch 4096 OOMs
-        # the lax program; the chunked kernel pipeline does not) — probe
-        # the winning variant at a big batch too (verified like the rest;
-        # the oracle is evaluated in 2048-sized pieces)
-        big = int(os.environ.get("SAKE_BENCH_KERNEL_BIG_BATCH", "8192"))
-        if best_variant is not None and big > batch:
-            res = _kernel_subprocess(big, best_variant, kernel_timeout)
-            if res is not None:
-                rate, ferr = res
-                sweep[f"{best_variant}@{big}"] = round(rate, 1)
-                if rate > value:
-                    value, impl, batch = rate, f"{best_variant}@{big}", big
-                    f_err = ferr
+        # the lax program; the resident-residual kernels do not) — probe
+        # the TWO best variants at a big batch too (verified like the
+        # rest; the oracle is evaluated in 2048-sized pieces). Two, not
+        # one: the 2048 ranking does not always hold at 8192 (round-2's
+        # resid@8192 beat the round-2 2048 winner).
+        # batch sweep of the one_ef champion (evals/s): 2048 23.6k,
+        # 8192 25.1k, 16384 25.4k, 32768 25.8k, 65536 25.7k — per-launch
+        # overhead amortizes until ~32k, then flattens
+        big = int(os.environ.get("SAKE_BENCH_KERNEL_BIG_BATCH", "32768"))
+        if big > batch:
+            for _, v in sorted(ranked, reverse=True)[:2]:
+                res = _kernel_subprocess(big, v, kernel_timeout)
+                if res is not None:
+                    rate, ferr = res
+                    sweep[f"{v}@{big}"] = round(rate, 1)
+                    if rate > value:
+                        value, impl, batch = rate, f"{v}@{big}", big
+                        f_err = ferr
 
     print(
         json.dumps(
