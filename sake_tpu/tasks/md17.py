@@ -166,10 +166,43 @@ def run(cfg: MD17Config, logger: Optional[MetricLogger] = None):
             # coloring: E = raw*std + mean => F = -dE/dx = std * f_raw
             return (e * e_std + e_mean)[..., None], f * e_std
 
+        # eval runs the gen-5 fused single kernel (one_ef): no gradient
+        # will be taken, so the training primal's residual streaming
+        # would be dead HBM traffic; one_ef keeps residuals in VMEM
+        from sake_tpu.kernels.one_ef import one_energy_forces
+
+        @jax.jit
+        def _eval_raw(kp, x):
+            h = jnp.broadcast_to(
+                species, (x.shape[0], n_atoms, species.shape[-1])
+            ).astype(jnp.float32)
+            e, f = one_energy_forces(
+                kp, h, x, n_heads=cfg.n_heads, batch_tile=bt,
+                edge_matmul_dtype=(
+                    None if cfg.kernel_interpret else jnp.bfloat16
+                ),
+                resid_dtype=(
+                    jnp.float32 if cfg.kernel_interpret else jnp.bfloat16
+                ),
+                pad_atoms=True, interpret=cfg.kernel_interpret,
+            )
+            return (e * e_std + e_mean)[..., None], f * e_std
+
+        def ef_eval(kp, x):
+            nb = x.shape[0]
+            n_pad = (-nb) % bt  # duplicate-pad to a batch-tile multiple;
+            if n_pad:           # the pads' predictions are sliced off
+                x = jnp.concatenate(
+                    [x, jnp.broadcast_to(x[:1], (n_pad, *x.shape[1:]))]
+                )
+            e, f = _eval_raw(kp, x)
+            return e[:nb], f[:nb]
+
         params = model_params_from_linen(params["params"])
         state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     else:
         ef_fn = make_energy_force_fn(model, species, e_mean, e_std)
+        ef_eval = jax.jit(ef_fn)
     step_fn = make_step_fn(ef_fn, cfg.energy_loss_weight)
     train_data = {
         "x": jnp.asarray(x_tr),
@@ -228,7 +261,6 @@ def run(cfg: MD17Config, logger: Optional[MetricLogger] = None):
         ckpt.wait()
 
     # eval: bootstrap MAE in kcal/mol (reference: md17/eval.py:78-85)
-    ef_eval = jax.jit(ef_fn)
     e_pred, f_pred = ef_eval(state.params, jnp.asarray(x_vl))
     e_mae = bootstrap_mae(e_pred * KCAL_PER_MOL, jnp.asarray(e_vl) * KCAL_PER_MOL)
     f_mae = bootstrap_mae(
