@@ -165,6 +165,32 @@ def test_oc20_bigsys_forward():
     _finite(results)
 
 
+@pytest.mark.slow
+def test_qm9_bucketed_kernel_dp_composition():
+    """The flagship QM9 composition all at once: size-bucketed batches +
+    Pallas train-kernel backbone + shard_map data parallelism over the 8
+    fake devices. Each bucketed group runs through the SAME sharded
+    scanned-epoch program as flat batches (tasks/qm9.py DP branch);
+    per-device batch stays divisible by the kernel batch tile."""
+    from sake_tpu.tasks.qm9 import QM9Config, run
+
+    _, results = run(
+        QM9Config(
+            hidden_features=8,
+            depth=2,
+            n_epochs=1,
+            n_samples=256,
+            batch_size=32,  # 8 devices x per-device 4 (== kernel tile)
+            data_parallel=True,
+            bucket_pad_multiple=8,
+            use_kernel_backbone=True,
+            kernel_batch_tile=4,
+            kernel_interpret=True,
+        )
+    )
+    _finite(results)
+
+
 def test_qm9_bucketed_training():
     """QM9 with size-bucketed training batches (bucket_pad_multiple):
     one scanned program per padded size, eval unchanged (flat)."""
