@@ -92,10 +92,32 @@ def get_workload(name: str, **overrides) -> Tuple[Callable, Any]:
     return run, cfg
 
 
+def parse_overrides(tokens):
+    """``key=value`` CLI tokens -> config overrides (the capability the
+    reference spread across per-script argparse flags, e.g.
+    ``scripts/md17/run.py`` ``--molecule``). Values are parsed as python
+    literals (ints, floats, True/None, quoted strings, tuples); bare
+    words fall back to strings, so ``molecule=ethanol`` just works."""
+    import ast
+
+    overrides = {}
+    for tok in tokens:
+        key, eq, text = tok.partition("=")
+        if not eq:
+            raise SystemExit(
+                f"override {tok!r} is not key=value (e.g. molecule=ethanol)"
+            )
+        try:
+            overrides[key] = ast.literal_eval(text)
+        except (ValueError, SyntaxError):
+            overrides[key] = text
+    return overrides
+
+
 if __name__ == "__main__":
     import sys
 
     name = sys.argv[1] if len(sys.argv) > 1 else "nbody"
-    run, cfg = get_workload(name)
+    run, cfg = get_workload(name, **parse_overrides(sys.argv[2:]))
     print(f"running {name} with {cfg}")
     run(cfg)

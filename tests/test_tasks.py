@@ -17,6 +17,27 @@ def _finite(results):
             assert math.isfinite(v), f"{k} not finite"
 
 
+def test_cli_overrides_parse_and_apply():
+    """``python -m sake_tpu.tasks.registry md17 molecule=ethanol depth=2``
+    — the reference's per-script argparse flags as key=value overrides."""
+    from sake_tpu.tasks.registry import parse_overrides
+
+    ov = parse_overrides(
+        ["molecule=ethanol", "depth=2", "learning_rate=5e-4",
+         "use_kernel_ef=True", "data_dir=None"]
+    )
+    assert ov == {
+        "molecule": "ethanol", "depth": 2, "learning_rate": 5e-4,
+        "use_kernel_ef": True, "data_dir": None,
+    }
+    _, cfg = get_workload("md17", **ov)
+    assert cfg.molecule == "ethanol" and cfg.depth == 2
+    with pytest.raises(SystemExit):
+        parse_overrides(["notanassignment"])
+    with pytest.raises(TypeError):
+        get_workload("md17", **parse_overrides(["no_such_field=1"]))
+
+
 def test_registry_lists_all_reference_families():
     names = list_workloads()
     for required in [
