@@ -19,6 +19,20 @@ import numpy as np
 # Atomic numbers for aspirin C9H8O4 (21 atoms) — the benchmark molecule.
 ASPIRIN_Z = np.array([6] * 9 + [8] * 4 + [1] * 8, dtype=np.int32)
 
+# The full MD17 molecule set the reference trains on (scripts/md17/run.py
+# takes any ``<name>_dft.npz``) — compositions for the synthetic fallback
+# so every molecule name runs with its true atom count/species.
+MD17_Z = {
+    "aspirin": ASPIRIN_Z,
+    "benzene": np.array([6] * 6 + [1] * 6, dtype=np.int32),
+    "ethanol": np.array([6] * 2 + [8] + [1] * 6, dtype=np.int32),
+    "malonaldehyde": np.array([6] * 3 + [8] * 2 + [1] * 4, dtype=np.int32),
+    "naphthalene": np.array([6] * 10 + [1] * 8, dtype=np.int32),
+    "salicylic": np.array([6] * 7 + [8] * 3 + [1] * 6, dtype=np.int32),
+    "toluene": np.array([6] * 7 + [1] * 8, dtype=np.int32),
+    "uracil": np.array([6] * 4 + [7] * 2 + [8] * 2 + [1] * 4, dtype=np.int32),
+}
+
 
 @dataclass
 class MD17Data:
@@ -83,4 +97,6 @@ def load_md17(
             f=np.asarray(data["F"])[idxs].astype(np.float32),
             z=np.asarray(data["z"]).astype(np.int32),
         )
-    return synthesize_md17(n_samples=n_samples, seed=seed)
+    return synthesize_md17(
+        n_samples=n_samples, z=MD17_Z.get(molecule, ASPIRIN_Z), seed=seed
+    )

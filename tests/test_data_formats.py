@@ -22,6 +22,36 @@ import numpy as np
 import pytest
 
 
+def test_md17_synthetic_molecule_compositions():
+    """The synthetic fallback honors the molecule name: every MD17
+    molecule the reference trains on (``scripts/md17/run.py`` takes any
+    ``<name>_dft.npz``) synthesizes with its true composition, and the
+    surrogate forces stay consistent with the energies (-dE/dx checked
+    by finite difference on one coordinate)."""
+    from sake_tpu.data.md17 import MD17_Z, _surrogate_energy_forces, load_md17
+
+    expect_atoms = {"aspirin": 21, "benzene": 12, "ethanol": 9,
+                    "malonaldehyde": 9, "naphthalene": 18, "salicylic": 16,
+                    "toluene": 15, "uracil": 12}
+    for mol, n in expect_atoms.items():
+        data = load_md17(mol, n_samples=4)
+        assert data.x.shape == (4, n, 3), mol
+        assert data.z.tolist() == MD17_Z[mol].tolist()
+
+    z = MD17_Z["ethanol"].astype(np.float64)
+    x = np.random.RandomState(0).randn(2, len(z), 3) * 2.0
+    _, f0 = _surrogate_energy_forces(x, z)
+    eps = 1e-3  # centered difference; outputs are f32 so tiny eps drowns
+    xp, xm = x.copy(), x.copy()
+    xp[:, 3, 1] += eps
+    xm[:, 3, 1] -= eps
+    ep, _ = _surrogate_energy_forces(xp, z)
+    em, _ = _surrogate_energy_forces(xm, z)
+    np.testing.assert_allclose(
+        -(ep - em).ravel() / (2 * eps), f0[:, 3, 1], rtol=2e-3, atol=2e-4
+    )
+
+
 def test_md17_npz_roundtrip_and_train(tmp_path):
     from sake_tpu.data.md17 import load_md17
 
