@@ -161,8 +161,51 @@ def _oom_probe(batch: int) -> str:
         return "timeout"
 
 
+def _wait_for_tpu(max_tries: int = 20, sleep_s: int = 120) -> bool:
+    """The tunnel can go UNAVAILABLE for an hour+ (observed 2026-08-17):
+    an unguarded jax op then blocks ~35 min in the client's retry loop and
+    dies without printing the JSON line. Probe in a bounded subprocess
+    and wait (up to ~45 min) for the chip before starting; return False
+    if it never comes back so the caller can emit an honest error line."""
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "print(float(jax.jit(lambda x: (x @ x.T).sum())(jnp.ones((8, 128)))))"
+    )
+    for i in range(max_tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], timeout=150,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(
+            f"# TPU tunnel unavailable (probe {i + 1}/{max_tries}); waiting",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(sleep_s)
+    return False
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    if not _wait_for_tpu():
+        print(
+            json.dumps(
+                {
+                    "metric": "md17_aspirin_energy_force_evals_per_sec_per_chip",
+                    "value": None,
+                    "unit": "evals/s/chip",
+                    "vs_baseline": None,
+                    "error": "tpu_unavailable: tunnel backend down for the "
+                    "whole probe window (last verified headline: see "
+                    "BENCH_r02.json / README)",
+                }
+            )
+        )
+        return
     sweep = {}
     value = None
     for b in SWEEP_BATCHES:
