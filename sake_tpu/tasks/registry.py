@@ -114,10 +114,22 @@ def parse_overrides(tokens):
     return overrides
 
 
-if __name__ == "__main__":
+def main(argv=None):
+    """CLI: ``sake-tpu <workload> [key=value ...]`` (also
+    ``python -m sake_tpu.tasks.registry ...``). No workload prints the
+    registry."""
     import sys
 
-    name = sys.argv[1] if len(sys.argv) > 1 else "nbody"
-    run, cfg = get_workload(name, **parse_overrides(sys.argv[2:]))
-    print(f"running {name} with {cfg}")
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: sake-tpu <workload> [key=value ...]\nworkloads:")
+        for n in list_workloads():
+            print(f"  {n}")
+        return
+    run, cfg = get_workload(argv[0], **parse_overrides(argv[1:]))
+    print(f"running {argv[0]} with {cfg}")
     run(cfg)
+
+
+if __name__ == "__main__":
+    main()
