@@ -200,8 +200,18 @@ def main():
                     "unit": "evals/s/chip",
                     "vs_baseline": None,
                     "error": "tpu_unavailable: tunnel backend down for the "
-                    "whole probe window (last verified headline: see "
-                    "BENCH_r02.json / README)",
+                    "whole probe window",
+                    # NOT a measurement from this run — the most recent
+                    # oracle-verified on-chip result (PERF.md), carried so
+                    # an outage doesn't erase the round's evidence trail.
+                    "last_verified": {
+                        "value": 25760.0,
+                        "impl": "one:bt=4,edtype=bf16,rdtype=bf16x,pad=1",
+                        "batch": 32768,
+                        "f_err_vs_oracle": 4.8e-3,
+                        "measured": "2026-08-17 on-chip (see PERF.md)",
+                        "vs_baseline": 0.515,
+                    },
                 }
             )
         )
