@@ -600,6 +600,29 @@ def test_hidden_fn_training_grads(setup, masked):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("masked", [False, True])
+def test_hidden_fn_inference_primal(setup, masked):
+    """make_hidden_fn called OUTSIDE autodiff takes the no-streaming
+    ``_fwd_infer`` kernel (the tasks' jitted eval path; avoids dead
+    residual HBM traffic). It must match the linen forward exactly like
+    the streaming custom-VJP forward does."""
+    from sake_tpu.kernels.resid_ef import make_hidden_fn
+
+    model, params, kp, h, x = setup
+    rng = np.random.RandomState(29)
+    B, N, _ = h.shape
+    mask = None
+    if masked:
+        mask, _ = _edge_mask(rng, B, N)
+
+    hidden = make_hidden_fn(batch_tile=2, pad_atoms=True, interpret=True)
+    h_fin = hidden(kp, h, x, mask)  # no grad: the inference primal
+    out_k = _kernel_readout(kp, h_fin)
+    out_l, _, _ = model.apply(params, h, x, mask=mask)
+    np.testing.assert_allclose(out_k, out_l, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
 def test_resid_kernel_other_widths():
     """Kernel path generality: hidden/head sizes other than the flagship
     (64, 4) — shapes are read off the parameter pytree, nothing baked in."""
