@@ -1,5 +1,5 @@
 """Device-mesh parallelism: mesh construction, shard_map data parallelism,
-and coefficient-axis tensor parallelism."""
+coefficient-axis tensor parallelism, and depth pipeline parallelism."""
 
 from sake_tpu.parallel.mesh import (
     make_mesh,
@@ -16,6 +16,9 @@ from sake_tpu.parallel.data_parallel import (
 from sake_tpu.parallel.tensor_parallel import (
     tp_model_forward,
 )
+from sake_tpu.parallel.pipeline import (
+    pp_model_forward,
+)
 
 __all__ = [
     "make_mesh",
@@ -27,4 +30,5 @@ __all__ = [
     "shard_batch",
     "replicate_state",
     "tp_model_forward",
+    "pp_model_forward",
 ]

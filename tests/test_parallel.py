@@ -194,3 +194,129 @@ def test_tp_model_forward_matches_dense(mesh):
     )(h, x, mask)
     np.testing.assert_allclose(out_tm, out_dm, rtol=5e-4, atol=5e-5)
     np.testing.assert_allclose(x_tm, x_dm, rtol=5e-4, atol=5e-5)
+
+
+def test_pp_model_forward_matches_dense(mesh):
+    """Depth pipeline parallelism (pp_model_forward) must equal the dense
+    functional model — unmasked, masked, mixed update schedule, and more
+    microbatches than stages — on a 4-stage pipe mesh."""
+    from sake_tpu.kernels import model_forward, model_params_from_linen
+    from sake_tpu.parallel import make_mesh, pp_model_forward
+
+    rng = np.random.RandomState(13)
+    B, N, F = 8, 5, 4
+    h = jnp.asarray(rng.randn(B, N, F), jnp.float32)
+    x = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+    model = SAKEModel(hidden_features=16, out_features=1, depth=4)
+    params = model.init(jax.random.PRNGKey(0), h[0], x[0])
+    kp = model_params_from_linen(params)
+    pp_mesh = make_mesh((("pipe", 4),), devices=jax.devices()[:4])
+
+    out_d, x_d, _ = model_forward(kp, h, x)
+    out_p, x_p = jax.jit(
+        lambda h_, x_: pp_model_forward(kp, h_, x_, pp_mesh)
+    )(h, x)
+    np.testing.assert_allclose(out_p, out_d, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(x_p, x_d, rtol=1e-5, atol=1e-6)
+
+    # masked graphs travel the pipeline with their masks
+    node_mask = jnp.asarray((rng.rand(B, N) > 0.3).astype(np.float32))
+    mask = node_mask[:, :, None] * node_mask[:, None, :]
+    out_dm, x_dm, _ = model_forward(kp, h, x, mask=mask)
+    out_pm, x_pm = jax.jit(
+        lambda h_, x_, m_: pp_model_forward(kp, h_, x_, pp_mesh, mask=m_)
+    )(h, x, mask)
+    np.testing.assert_allclose(out_pm, out_dm, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(x_pm, x_dm, rtol=1e-5, atol=1e-6)
+
+    # per-layer update schedule as traced flags
+    sched = [True, False, True, False]
+    out_ds, x_ds, _ = model_forward(kp, h, x, update=sched)
+    out_ps, x_ps = jax.jit(
+        lambda h_, x_: pp_model_forward(kp, h_, x_, pp_mesh, update=sched)
+    )(h, x)
+    np.testing.assert_allclose(out_ps, out_ds, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(x_ps, x_ds, rtol=1e-5, atol=1e-6)
+
+    # M > S shrinks the bubble; result must be identical
+    out_p8, x_p8 = jax.jit(
+        lambda h_, x_: pp_model_forward(
+            kp, h_, x_, pp_mesh, n_microbatches=8
+        )
+    )(h, x)
+    np.testing.assert_allclose(out_p8, out_d, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(x_p8, x_d, rtol=1e-5, atol=1e-6)
+
+
+def test_pp_grad_through_pipeline(mesh):
+    """Force training through the pipeline: grad of the pipelined energy
+    w.r.t. positions (through scan + ppermute + psum) must equal the dense
+    gradient."""
+    from sake_tpu.kernels import model_forward, model_params_from_linen
+    from sake_tpu.parallel import make_mesh, pp_model_forward
+
+    rng = np.random.RandomState(14)
+    B, N, F = 4, 5, 4
+    h = jnp.asarray(rng.randn(B, N, F), jnp.float32)
+    x = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+    model = SAKEModel(hidden_features=16, out_features=1, depth=2)
+    params = model.init(jax.random.PRNGKey(0), h[0], x[0])
+    kp = model_params_from_linen(params)
+    pp_mesh = make_mesh((("pipe", 2),), devices=jax.devices()[:2])
+
+    def e_dense(x_):
+        out, _, _ = model_forward(kp, h, x_)
+        return out.sum()
+
+    def e_pipe(x_):
+        out, _ = pp_model_forward(kp, h, x_, pp_mesh, n_microbatches=4)
+        return out.sum()
+
+    g_d = jax.grad(e_dense)(x)
+    g_p = jax.jit(jax.grad(e_pipe))(x)
+    np.testing.assert_allclose(g_p, g_d, rtol=1e-4, atol=1e-6)
+
+
+def test_pp_dp_2d_mesh(mesh):
+    """PP x DP on one 2D (data=2, pipe=4) mesh: each data shard runs an
+    independent depth pipeline; forward and position gradient must equal
+    the dense model."""
+    from sake_tpu.kernels import model_forward, model_params_from_linen
+    from sake_tpu.parallel import make_mesh, pp_model_forward
+
+    rng = np.random.RandomState(15)
+    B, N, F = 8, 5, 4
+    h = jnp.asarray(rng.randn(B, N, F), jnp.float32)
+    x = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+    model = SAKEModel(hidden_features=16, out_features=1, depth=4)
+    params = model.init(jax.random.PRNGKey(0), h[0], x[0])
+    kp = model_params_from_linen(params)
+    mesh2d = make_mesh((("data", 2), ("pipe", 4)))
+
+    node_mask = jnp.asarray((rng.rand(B, N) > 0.3).astype(np.float32))
+    mask = node_mask[:, :, None] * node_mask[:, None, :]
+
+    out_d, x_d, _ = model_forward(kp, h, x, mask=mask)
+    out_p, x_p = jax.jit(
+        lambda h_, x_, m_: pp_model_forward(
+            kp, h_, x_, mesh2d, data_axis="data", mask=m_,
+            n_microbatches=4,
+        )
+    )(h, x, mask)
+    np.testing.assert_allclose(out_p, out_d, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(x_p, x_d, rtol=1e-5, atol=1e-6)
+
+    def e_dense(x_):
+        out, _, _ = model_forward(kp, h, x_, mask=mask)
+        return out.sum()
+
+    def e_pipe(x_):
+        out, _ = pp_model_forward(
+            kp, h, x_, mesh2d, data_axis="data", mask=mask,
+            n_microbatches=4,
+        )
+        return out.sum()
+
+    g_d = jax.grad(e_dense)(x)
+    g_p = jax.jit(jax.grad(e_pipe))(x)
+    np.testing.assert_allclose(g_p, g_d, rtol=1e-4, atol=1e-6)
