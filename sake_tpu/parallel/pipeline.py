@@ -38,6 +38,12 @@ sharded over ``data`` while layers are sharded over ``pipe`` — each data
 shard runs an independent pipeline, no cross-``data`` collectives in the
 forward (gradient ``psum`` over ``data`` belongs to the caller's loss,
 as in ``data_parallel.make_dp_step``).
+
+Full 3D parallelism: ``model_axis=`` additionally runs every stage's
+layer body with the spatial-coefficient axis sharded over a ``model``
+mesh axis (``tensor_parallel.tp_layer_forward`` — 2 node-level ``psum``
+collectives per layer riding ICI), so one ``shard_map`` covers
+data x pipe x model on a single 3D mesh.
 """
 
 from __future__ import annotations
@@ -60,6 +66,7 @@ from sake_tpu.kernels.functional import (
     _readout,
     layer_forward_planes,
 )
+from sake_tpu.parallel.tensor_parallel import tp_layer_forward
 
 
 def _stack_layers(layers):
@@ -75,6 +82,7 @@ def pp_model_forward(
     *,
     axis: str = "pipe",
     data_axis: Optional[str] = None,
+    model_axis: Optional[str] = None,
     n_heads: int = 4,
     update: Sequence[bool] | bool = True,
     mask: Optional[jax.Array] = None,  # (B, N, N)
@@ -88,6 +96,10 @@ def pp_model_forward(
     ``n_microbatches`` defaults to the stage count (the smallest M that
     keeps every stage busy once the pipeline fills; raise it to shrink
     the bubble fraction at the cost of smaller per-tick tiles).
+
+    ``model_axis`` shards each stage's layer internals (the C-wide
+    spatial-coefficient tensors) over that mesh axis via
+    ``tp_layer_forward`` — full data x pipe x model 3D parallelism.
     """
     depth = len(p.layers)
     S = mesh.shape[axis]
@@ -140,11 +152,19 @@ def pp_model_forward(
                 hc, xc, vc = carry
                 xp = [xc[..., k : k + 1] for k in range(3)]
                 vp = [vc[..., k : k + 1] for k in range(3)]
-                h2, xp2, vp2 = layer_forward_planes(
-                    lp, hc, xp, vp,
-                    n_heads=n_heads, update=True, mask=msk,
-                    matmul_dtype=matmul_dtype,
-                )
+                if model_axis is not None:
+                    h2, xp2, vp2 = tp_layer_forward(
+                        lp, hc, xp, vp,
+                        n_heads=n_heads, update=True, axis=model_axis,
+                        n_shards=mesh.shape[model_axis], mask=msk,
+                        matmul_dtype=matmul_dtype,
+                    )
+                else:
+                    h2, xp2, vp2 = layer_forward_planes(
+                        lp, hc, xp, vp,
+                        n_heads=n_heads, update=True, mask=msk,
+                        matmul_dtype=matmul_dtype,
+                    )
                 # per-layer update schedule as a traced flag: x/v keep
                 # their values on update=False layers (h always updates)
                 x2 = jnp.where(flag > 0, jnp.concatenate(xp2, -1), xc)

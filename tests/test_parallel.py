@@ -320,3 +320,49 @@ def test_pp_dp_2d_mesh(mesh):
     g_d = jax.grad(e_dense)(x)
     g_p = jax.jit(jax.grad(e_pipe))(x)
     np.testing.assert_allclose(g_p, g_d, rtol=1e-4, atol=1e-6)
+
+
+def test_pp_tp_dp_3d_mesh(mesh):
+    """Full 3D parallelism on one (data=2, pipe=2, model=2) mesh: depth
+    pipelined over ``pipe``, each stage's layer body coefficient-sharded
+    over ``model`` (tp_layer_forward), microbatches sharded over ``data``.
+    Forward and position gradient must equal the dense model."""
+    from sake_tpu.kernels import model_forward, model_params_from_linen
+    from sake_tpu.parallel import make_mesh, pp_model_forward
+
+    rng = np.random.RandomState(16)
+    B, N, F = 8, 5, 4
+    h = jnp.asarray(rng.randn(B, N, F), jnp.float32)
+    x = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+    model = SAKEModel(hidden_features=16, out_features=1, depth=2)
+    params = model.init(jax.random.PRNGKey(0), h[0], x[0])
+    kp = model_params_from_linen(params)
+    mesh3d = make_mesh((("data", 2), ("pipe", 2), ("model", 2)))
+
+    node_mask = jnp.asarray((rng.rand(B, N) > 0.3).astype(np.float32))
+    mask = node_mask[:, :, None] * node_mask[:, None, :]
+
+    out_d, x_d, _ = model_forward(kp, h, x, mask=mask)
+    out_p, x_p = jax.jit(
+        lambda h_, x_, m_: pp_model_forward(
+            kp, h_, x_, mesh3d, data_axis="data", model_axis="model",
+            mask=m_, n_microbatches=4,
+        )
+    )(h, x, mask)
+    np.testing.assert_allclose(out_p, out_d, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(x_p, x_d, rtol=1e-5, atol=1e-6)
+
+    def e_pipe(x_):
+        out, _ = pp_model_forward(
+            kp, h, x_, mesh3d, data_axis="data", model_axis="model",
+            mask=mask, n_microbatches=4,
+        )
+        return out.sum()
+
+    def e_dense(x_):
+        out, _, _ = model_forward(kp, h, x_, mask=mask)
+        return out.sum()
+
+    g_d = jax.grad(e_dense)(x)
+    g_p = jax.jit(jax.grad(e_pipe))(x)
+    np.testing.assert_allclose(g_p, g_d, rtol=1e-4, atol=1e-6)
