@@ -189,6 +189,49 @@ def _wait_for_tpu(max_tries: int = 20, sleep_s: int = 120) -> bool:
     return False
 
 
+def _other_headlines():
+    """Key figures from the repo's OTHER verified on-chip artifacts (each
+    measured by its own oracle-gated harness — see the named JSON files)
+    so the driver-captured line carries the whole performance picture,
+    not just the E+F axis."""
+    picks = {
+        "BENCH_TRAIN.json": (
+            "qm9_train_samples_per_sec",
+            ["value", "reference_value", "vs_reference_cross_run_median"],
+        ),
+        "BENCH_TRAIN_MD17.json": (
+            "md17_2nd_order_train_samples_per_sec",
+            ["value", "lax_value", "vs_lax"],
+        ),
+        "BENCH_MD.json": (
+            "md_rollout_steps_per_sec",
+            ["value", "lax_value"],
+        ),
+        "BENCH_INFER.json": (
+            "energy_inference_evals_per_sec",
+            ["value", "vs_baseline"],
+        ),
+        "BENCH_HEADLINE.json": (
+            "reference_own_headline_speedups",
+            ["nbody_speedup", "motion_speedup"],
+        ),
+        "BENCH_CONVERGENCE.json": (
+            "md17_convergence_force_mae_ratio_vs_lax",
+            ["vs_baseline", "gates_passed"],
+        ),
+    }
+    out = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname, (label, keys) in picks.items():
+        try:
+            with open(os.path.join(here, fname)) as f:
+                d = json.load(f)
+            out[label] = {k: d[k] for k in keys if k in d}
+        except (OSError, ValueError):
+            pass
+    return out
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     if not _wait_for_tpu():
@@ -212,6 +255,7 @@ def main():
                         "measured": "2026-08-17 on-chip (see PERF.md)",
                         "vs_baseline": 0.515,
                     },
+                    "other_headlines": _other_headlines(),
                 }
             )
         )
@@ -283,6 +327,7 @@ def main():
                 "batch": batch,
                 "f_err_vs_oracle": f_err,
                 "sweep": sweep,
+                "other_headlines": _other_headlines(),
             }
         )
     )
