@@ -62,6 +62,14 @@ from sake_tpu.kernels.resid_ef import (
 from sake_tpu.kernels.split_ef import head_expansion_matrices
 
 
+# bt=8's scoped allocation is ~113 MB at depth-6/N=24 (measured from the
+# Mosaic compile rejection) — above the 100 MB default scoped-vmem limit,
+# inside the 128 MB part. Applied automatically when batch_tile >= 8 and
+# no explicit vmem_limit is given; bt<=4 (the champion tile) stays on the
+# default limit it was measured under.
+_BT8_VMEM = 124 * 1024 * 1024
+
+
 def _resident(a):
     """Whole-array VMEM block, constant index map: DMA'd once per launch."""
     return pl.BlockSpec(
@@ -278,7 +286,10 @@ def one_energy_forces(
         # grid steps are fully independent (no carried scratch state), so
         # "parallel" semantics are always legal here
         compiler_params=_compiler_params(
-            1, batch_parallel=batch_parallel, vmem_limit=vmem_limit
+            1, batch_parallel=batch_parallel,
+            vmem_limit=(
+                _BT8_VMEM if vmem_limit is None and BT >= 8 else vmem_limit
+            ),
         ),
         interpret=interpret,
     )(*x_planes, h0, upd_flags, e_rep, e_tile, w_out0, b_out0, w_out1,
