@@ -139,9 +139,17 @@ def blocked_layer_forward(
     n_receivers: Optional[int] = None,
     mask: Optional[jax.Array] = None,  # (B, Ni, Nj)
     matmul_dtype=None,
+    remat: bool = False,
 ):
     """One dense SAKE layer over receivers [off, off+Ni) with the sender
     axis scanned in ``block_size`` chunks (online softmax, two passes).
+
+    ``remat=True`` checkpoints the per-block scan bodies: the backward
+    (forces / training gradients) re-derives each sender block's edge
+    tensors instead of saving them, bounding autodiff memory to
+    O(N·block) like the forward — without it ``jax.grad`` through the
+    block scans saves every block's (B, Ni, bs, H) intermediates, i.e.
+    the full O(N²·H) the blocked formulation exists to avoid.
 
     Returns local ``(h_recv_out, x_recv_out_planes, v_recv_out_planes)``.
     """
@@ -215,7 +223,8 @@ def blocked_layer_forward(
 
     m0 = jnp.full((B, Ni, K), -jnp.inf)
     z0 = jnp.zeros((B, Ni, K))
-    (m, z), _ = jax.lax.scan(pass1, (m0, z0), jnp.arange(n_blocks))
+    p1 = jax.checkpoint(pass1, prevent_cse=False) if remat else pass1
+    (m, z), _ = jax.lax.scan(p1, (m0, z0), jnp.arange(n_blocks))
 
     # ---- pass 2: attention-weighted accumulation ------------------------
     w_xmix_hk = p.w_xmix.reshape(H, K, C)
@@ -253,8 +262,9 @@ def blocked_layer_forward(
     agg0 = jnp.zeros((B * Ni, p.w_node0.shape[-1]))
     pooled0 = jnp.zeros((3, B, Ni, C))
     cnt0 = jnp.zeros((B, Ni, 1))
+    p2 = jax.checkpoint(pass2, prevent_cse=False) if remat else pass2
     (agg_node, pooled, att_count), _ = jax.lax.scan(
-        pass2, (agg0, pooled0, cnt0), jnp.arange(n_blocks)
+        p2, (agg0, pooled0, cnt0), jnp.arange(n_blocks)
     )
 
     count = att_count + 1e-8 if mask is not None else float(Nj)
@@ -303,8 +313,12 @@ def blocked_model_forward(
     block_size: int = 128,
     mask: Optional[jax.Array] = None,
     matmul_dtype=None,
+    remat: bool = False,
 ):
-    """Full model with blocked layers (single device, O(N*block) memory)."""
+    """Full model with blocked layers (single device, O(N*block) memory).
+
+    ``remat=True`` makes that bound hold for ``jax.grad`` (forces /
+    training) too — see ``blocked_layer_forward``."""
     depth = len(p.layers)
     updates = [update] * depth if isinstance(update, bool) else list(update)
     mm = _make_mm(matmul_dtype)
@@ -315,7 +329,7 @@ def blocked_model_forward(
         hc, xp, vp = blocked_layer_forward(
             lp, hc, xp, vp,
             n_heads=n_heads, update=upd, block_size=block_size, mask=mask,
-            matmul_dtype=matmul_dtype,
+            matmul_dtype=matmul_dtype, remat=remat,
         )
     out = _readout(p, hc, mm)
     x_out = jnp.concatenate(xp, axis=-1)

@@ -63,6 +63,21 @@ def test_blocked_forces_match(setup):
     np.testing.assert_allclose(g_b, g_d, rtol=2e-3, atol=2e-4)
 
 
+def test_blocked_forces_remat(setup):
+    """remat=True (O(N*block) autodiff memory) changes nothing numerically."""
+    kp, h, x = setup
+
+    def e_blocked(x_, remat):
+        out, _, _ = blocked_model_forward(
+            kp, h, x_, block_size=16, remat=remat
+        )
+        return out.sum()
+
+    g_plain = jax.grad(lambda x_: e_blocked(x_, False))(x)
+    g_remat = jax.jit(jax.grad(lambda x_: e_blocked(x_, True)))(x)
+    np.testing.assert_allclose(g_remat, g_plain, rtol=1e-5, atol=1e-6)
+
+
 def test_atom_sharded_matches_dense(setup):
     kp, h, x = setup
     mesh = make_mesh()
