@@ -23,7 +23,7 @@ matches the reference at fp32 tolerance; see ``tests/test_reference_parity``.
 """
 
 from sake_tpu import geometry, radial, layers, models, flows, utils
-from sake_tpu import kernels, parallel, train, data, bigsys, md, compat
+from sake_tpu import kernels, parallel, train, data, bigsys, md, compat, sparse
 
 # Reference-compatible aliases (reference: sake/__init__.py:1 re-exports
 # functional, utils, layers, models, flows).
@@ -42,6 +42,7 @@ __all__ = [
     "train",
     "data",
     "bigsys",
+    "sparse",
     "md",
     "compat",
 ]

@@ -349,6 +349,7 @@ def atom_sharded_forward(
     block_size: int = 128,
     node_mask: Optional[jax.Array] = None,  # (B, N) 1 = real atom
     matmul_dtype=None,
+    remat: bool = False,
 ):
     """Atom-sharded model forward: ``(out, x_out)`` sharded like inputs."""
     depth = len(p.layers)
@@ -377,7 +378,7 @@ def atom_sharded_forward(
                 lp, h_all, xp_all, vp,
                 n_heads=n_heads, update=upd, block_size=block_size,
                 matmul_dtype=matmul_dtype, mask=mask_loc,
-                receiver_offset=offset, n_receivers=n_local,
+                receiver_offset=offset, n_receivers=n_local, remat=remat,
             )
         out = _readout(p, hc, mm)
         return out, jnp.concatenate(xp, axis=-1)
@@ -424,6 +425,7 @@ def sharded_model_forward(
     block_size: int = 128,
     node_mask: Optional[jax.Array] = None,
     matmul_dtype=None,
+    remat: bool = False,
 ):
     """Atom-sharded forward with automatic gather-vs-ring selection.
 
@@ -440,7 +442,7 @@ def sharded_model_forward(
         return atom_sharded_forward(
             p, h, x, mesh, axis=axis, n_heads=n_heads, update=update,
             block_size=block_size, node_mask=node_mask,
-            matmul_dtype=matmul_dtype,
+            matmul_dtype=matmul_dtype, remat=remat,
         )
     if mode == "ring":
         return ring_atom_sharded_forward(
@@ -460,6 +462,7 @@ def dp_atom_sharded_loss_step(
     update: Sequence[bool] | bool = True,
     block_size: int = 8,
     matmul_dtype=None,
+    remat: bool = False,
 ):
     """Build a 2D-sharded (batch x atoms) energy-regression training step.
 
@@ -499,6 +502,7 @@ def dp_atom_sharded_loss_step(
                 matmul_dtype=matmul_dtype,
                 receiver_offset=offset,
                 n_receivers=n_local,
+                remat=remat,
             )
         out = _readout(params, hc, mm)  # (B_loc, n_local, 1)
         e_partial = out.sum(axis=(-2, -1), keepdims=False)[:, None]

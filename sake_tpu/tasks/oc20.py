@@ -54,6 +54,9 @@ class OC20Config:
     use_bigsys: bool = False
     bigsys_mode: str = "auto"  # auto | gather | ring
     bigsys_block: int = 32
+    # checkpoint the per-block scans so the TRAINING backward stays
+    # O(N*block) memory like the forward (bigsys.blocked_layer_forward)
+    bigsys_remat: bool = True
 
 
 def run(cfg: OC20Config, logger: Optional[MetricLogger] = None):
@@ -127,7 +130,7 @@ def run(cfg: OC20Config, logger: Optional[MetricLogger] = None):
                     p, species, x, mesh, mode=cfg.bigsys_mode,
                     n_heads=cfg.n_heads, update=cfg.update,
                     block_size=min(cfg.bigsys_block, n // n_dev),
-                    node_mask=node_mask,
+                    node_mask=node_mask, remat=cfg.bigsys_remat,
                 )
             else:
                 bs_ = cfg.bigsys_block
@@ -137,6 +140,7 @@ def run(cfg: OC20Config, logger: Optional[MetricLogger] = None):
                     p, species, x,
                     n_heads=cfg.n_heads, update=cfg.update,
                     block_size=max(bs_, 1), mask=edge_mask,
+                    remat=cfg.bigsys_remat,
                 )
             return (out[..., 0] * node_mask).sum(-1, keepdims=True)
 
