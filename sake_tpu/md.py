@@ -62,6 +62,65 @@ def velocity_verlet_rollout(
     return xs, vs, es
 
 
+def neighborlist_verlet_rollout(
+    energy_forces_fn: Callable,
+    params,
+    x0: jax.Array,  # (B, N, 3)
+    v0: jax.Array,  # (B, N, 3)
+    masses: jax.Array,  # (N,) or (B, N)
+    dt: float,
+    n_steps: int,
+    *,
+    cutoff: float,
+    max_neighbors: int,
+    rebuild_every: int = 20,
+    skin: float = 0.0,
+    node_mask: Optional[jax.Array] = None,  # (B, N)
+):
+    """Velocity-Verlet on a cutoff force field with periodic neighbor-list
+    rebuilds — large-system MD entirely on device.
+
+    ``energy_forces_fn(params, x, idx, nbr_mask) -> (e, f)`` evaluates the
+    cutoff-sparse model (see ``sake_tpu.sparse.make_sparse_energy_forces``).
+    The rollout is an outer ``lax.scan`` over rebuild intervals (the list is
+    rebuilt from the current positions at ``cutoff + skin``, standard MD
+    skin convention so in-flight atoms don't fall off the list) with an
+    inner ``lax.scan`` of ``rebuild_every`` Verlet steps on the FIXED graph
+    — every shape static, so the whole trajectory is one compiled program.
+    Returns ``(xs, vs, es)`` sampled once per rebuild interval.
+    """
+    from sake_tpu.sparse import neighbor_list  # local: avoid import cycle
+
+    inv_m = (1.0 / masses)[..., None]
+
+    def verlet(carry, _):
+        x, v, f, idx, m = carry
+        v_half = v + 0.5 * dt * f * inv_m
+        x_new = x + dt * v_half
+        _, f_new = energy_forces_fn(params, x_new, idx, m)
+        v_new = v_half + 0.5 * dt * f_new * inv_m
+        return (x_new, v_new, f_new, idx, m), None
+
+    def interval(carry, _):
+        x, v = carry
+        idx, m = neighbor_list(
+            jax.lax.stop_gradient(x), cutoff + skin, max_neighbors,
+            node_mask=node_mask,
+        )
+        _, f = energy_forces_fn(params, x, idx, m)
+        (x, v, f, _, _), _ = jax.lax.scan(
+            verlet, (x, v, f, idx, m), None, length=rebuild_every
+        )
+        e, _ = energy_forces_fn(params, x, idx, m)
+        return (x, v), (x, v, e)
+
+    n_intervals = n_steps // rebuild_every
+    _, (xs, vs, es) = jax.lax.scan(
+        interval, (x0, v0), None, length=n_intervals
+    )
+    return xs, vs, es
+
+
 def learned_integrator_rollout(
     apply_fn: Callable,
     params,

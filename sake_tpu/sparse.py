@@ -241,6 +241,42 @@ def sparse_layer_forward(
     return h_out, x_new, v_new
 
 
+def make_sparse_energy_forces(
+    h: jax.Array,  # (B, N, F_in) fixed species features
+    *,
+    n_heads: int = 4,
+    update: Sequence[bool] | bool = True,
+    matmul_dtype=None,
+    remat: bool = True,
+    node_mask: Optional[jax.Array] = None,  # (B, N)
+):
+    """``(params, x, idx, nbr_mask) -> (e (B,), f (B, N, 3))`` on the
+    cutoff-sparse model — the force field driving
+    ``md.neighborlist_verlet_rollout``. ``remat=True`` keeps the force
+    backward at O(N·K) memory."""
+    nm = None if node_mask is None else node_mask[..., None]
+
+    def energy_forces(p: ModelParams, x, idx, nbr_mask):
+        # per-graph energies with a single summed-grad pass: forces of
+        # graph b depend only on x[b], so grad of the batch-summed energy
+        # gives every graph's forces in one backward
+        def e_sum(x_):
+            out, _, _ = sparse_model_forward(
+                p, h, x_, idx, nbr_mask,
+                n_heads=n_heads, update=update,
+                matmul_dtype=matmul_dtype, remat=remat,
+            )
+            if nm is not None:
+                out = out * nm
+            e_b = out.sum(axis=(-2, -1))
+            return e_b.sum(), e_b
+
+        (_, e_b), neg_f = jax.value_and_grad(e_sum, has_aux=True)(x)
+        return e_b, -neg_f
+
+    return energy_forces
+
+
 def sparse_model_forward(
     p: ModelParams,
     h: jax.Array,  # (B, N, F_in)

@@ -99,6 +99,72 @@ def test_neighbor_list_node_mask_and_ragged_chunk(setup):
     assert bool((m * (1 - node_mask[:, :, None]) == 0).all())
 
 
+def test_neighborlist_rollout_matches_dense_at_full_cutoff(setup):
+    """With cutoff covering every pair (complete graph each rebuild), the
+    neighborlist MD rollout is the dense masked all-pairs rollout."""
+    from sake_tpu.kernels import model_forward
+    from sake_tpu.md import neighborlist_verlet_rollout, velocity_verlet_rollout
+    from sake_tpu.sparse import make_sparse_energy_forces
+
+    kp, h, x = setup
+    B, N = x.shape[:2]
+    h, x = h[:, :12], x[:, :12]  # keep the dense N^2 reference cheap
+    N = 12
+    v0 = jnp.zeros_like(x)
+    masses = jnp.ones((N,), jnp.float32)
+    big = 1e3  # larger than any pair distance
+
+    sparse_ef = make_sparse_energy_forces(h, remat=True)
+    xs_s, vs_s, es_s = jax.jit(
+        lambda p, x_: neighborlist_verlet_rollout(
+            sparse_ef, p, x_, v0, masses, 1e-3, 6,
+            cutoff=big, max_neighbors=N, rebuild_every=2,
+        )
+    )(kp, x)
+
+    # dense reference on the complete-minus-self graph
+    idx, m = neighbor_list(x, big, N)
+    mask = densify_neighbors(idx, m, N)
+
+    def dense_ef(p, x_):
+        def e_sum(x__):
+            out, _, _ = model_forward(p, h, x__, mask=mask)
+            e_b = out.sum(axis=(-2, -1))
+            return e_b.sum(), e_b
+
+        (_, e_b), neg_f = jax.value_and_grad(e_sum, has_aux=True)(x_)
+        return e_b, -neg_f
+
+    xs_d, vs_d, es_d = jax.jit(
+        lambda p, x_: velocity_verlet_rollout(
+            dense_ef, p, x_, v0, masses, 1e-3, 6, sample_every=2
+        )
+    )(kp, x)
+    np.testing.assert_allclose(xs_s, xs_d, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(es_s, es_d, rtol=1e-4, atol=1e-4)
+
+
+def test_neighborlist_rollout_small_cutoff_finite(setup):
+    """A genuinely sparse rollout (small cutoff, K << N) stays finite and
+    the rebuild cadence is live (graph changes as atoms move)."""
+    from sake_tpu.md import neighborlist_verlet_rollout
+    from sake_tpu.sparse import make_sparse_energy_forces
+
+    kp, h, x = setup
+    v0 = jnp.zeros_like(x)
+    masses = jnp.ones((x.shape[1],), jnp.float32)
+    ef = make_sparse_energy_forces(h, remat=True)
+    xs, vs, es = jax.jit(
+        lambda p, x_: neighborlist_verlet_rollout(
+            ef, p, x_, v0, masses, 5e-2, 8,
+            cutoff=2.0, max_neighbors=12, rebuild_every=4, skin=0.3,
+        )
+    )(kp, x)
+    assert xs.shape == (2, *x.shape) and es.shape == (2, x.shape[0])
+    assert bool(jnp.isfinite(xs).all()) and bool(jnp.isfinite(es).all())
+    assert float(jnp.abs(xs[-1] - x).max()) > 0  # atoms actually moved
+
+
 def test_sparse_isolated_atoms_finite(setup):
     """Zero-neighbor rows (cutoff smaller than any pair) stay finite."""
     kp, h, x = setup
