@@ -65,6 +65,9 @@ _REGISTRY: Dict[str, Callable] = {
     # large heterogeneous
     "ani": _lazy("ani", "run", "ANIConfig"),
     "oc20": _lazy("oc20", "run", "OC20Config"),
+    # large-system MD on the cutoff-sparse O(N*K) path (capability the
+    # reference's broken SparseSAKELayer never delivered)
+    "sparse_md": _lazy("sparse_md", "run", "SparseMDConfig"),
     # flows
     "dw4": _lazy("flows", "run_cnf", "CNFConfig"),
     "dw4_aug": _lazy("flows", "run_augmented", "AugmentedFlowConfig", system="dw4"),
