@@ -76,6 +76,7 @@ def neighborlist_verlet_rollout(
     rebuild_every: int = 20,
     skin: float = 0.0,
     node_mask: Optional[jax.Array] = None,  # (B, N)
+    box=None,  # (3,) orthorhombic periodic box
 ):
     """Velocity-Verlet on a cutoff force field with periodic neighbor-list
     rebuilds — large-system MD entirely on device.
@@ -87,7 +88,10 @@ def neighborlist_verlet_rollout(
     skin convention so in-flight atoms don't fall off the list) with an
     inner ``lax.scan`` of ``rebuild_every`` Verlet steps on the FIXED graph
     — every shape static, so the whole trajectory is one compiled program.
-    Returns ``(xs, vs, es)`` sampled once per rebuild interval.
+    With ``box``, displacements use the minimum-image convention (the
+    force field must have been built with the same ``box``) and positions
+    are wrapped back into the box at each rebuild. Returns
+    ``(xs, vs, es)`` sampled once per rebuild interval.
     """
     from sake_tpu.sparse import neighbor_list  # local: avoid import cycle
 
@@ -103,9 +107,12 @@ def neighborlist_verlet_rollout(
 
     def interval(carry, _):
         x, v = carry
+        if box is not None:
+            bx = jnp.asarray(box, x.dtype)
+            x = x - bx * jnp.floor(x / bx)
         idx, m = neighbor_list(
             jax.lax.stop_gradient(x), cutoff + skin, max_neighbors,
-            node_mask=node_mask,
+            node_mask=node_mask, box=box,
         )
         _, f = energy_forces_fn(params, x, idx, m)
         (x, v, f, _, _), _ = jax.lax.scan(

@@ -51,6 +51,14 @@ from sake_tpu.kernels.functional import (
 )
 
 
+def _min_image(diff: jax.Array, box) -> jax.Array:
+    """Orthorhombic minimum-image convention: wrap displacement components
+    into ``[-L/2, L/2)``. ``round`` is piecewise-constant, so gradients
+    flow through ``diff`` untouched — PBC forces are exact."""
+    box = jnp.asarray(box, diff.dtype)
+    return diff - box * jnp.round(diff / box)
+
+
 def neighbor_list(
     x: jax.Array,  # (B, N, 3)
     cutoff: float,
@@ -58,6 +66,7 @@ def neighbor_list(
     *,
     node_mask: Optional[jax.Array] = None,  # (B, N) 1 = real atom
     row_chunk: int = 1024,
+    box=None,  # (3,) orthorhombic periodic box, or None for open boundaries
 ):
     """K-nearest-within-cutoff neighbor indices, static shapes.
 
@@ -65,7 +74,8 @@ def neighbor_list(
     slots (outside cutoff, self, padded atoms, or beyond the K nearest)
     have ``nbr_mask 0`` and an arbitrary in-range index. Peak memory is
     O(N·row_chunk), never O(N²): receiver rows are processed in
-    ``lax.map`` chunks.
+    ``lax.map`` chunks. With ``box``, distances use the minimum-image
+    convention (requires ``cutoff <= min(box)/2``, the standard MD bound).
     """
     B, N, _ = x.shape
     K = min(max_neighbors, N)
@@ -81,6 +91,8 @@ def neighbor_list(
     def one(args):
         xi, i_ids = args  # (B, rc, 3), (rc,)
         diff = xi[:, :, None, :] - x[:, None, :, :]  # (B, rc, N, 3)
+        if box is not None:
+            diff = _min_image(diff, box)
         d2 = (diff * diff).sum(-1)  # (B, rc, N)
         valid = (d2 < c2) & (i_ids[None, :, None] != j_ids[None, None, :])
         if node_mask is not None:
@@ -122,6 +134,7 @@ def sparse_layer_forward(
     n_heads: int,
     update: bool,
     matmul_dtype=None,
+    box=None,  # (3,) periodic box: minimum-image displacements
 ):
     """One SAKE layer on gathered neighbors — the masked dense layer
     (``kernels.functional.layer_forward_planes``) with the sender axis
@@ -140,6 +153,9 @@ def sparse_layer_forward(
     # geometry on gathered positions
     xg = [_gather(pk, idx) for pk in x_planes]  # 3 x (B, N, Kn, 1)
     d_planes = [gj - pi[:, :, None, :] for gj, pi in zip(xg, x_planes)]
+    if box is not None:
+        bx = jnp.asarray(box, jnp.float32)
+        d_planes = [_min_image(dk, bx[k2]) for k2, dk in enumerate(d_planes)]
     r = jnp.sqrt(
         jax.nn.relu(
             d_planes[0] ** 2 + d_planes[1] ** 2 + d_planes[2] ** 2
@@ -249,6 +265,7 @@ def make_sparse_energy_forces(
     matmul_dtype=None,
     remat: bool = True,
     node_mask: Optional[jax.Array] = None,  # (B, N)
+    box=None,  # (3,) periodic box
 ):
     """``(params, x, idx, nbr_mask) -> (e (B,), f (B, N, 3))`` on the
     cutoff-sparse model — the force field driving
@@ -264,7 +281,7 @@ def make_sparse_energy_forces(
             out, _, _ = sparse_model_forward(
                 p, h, x_, idx, nbr_mask,
                 n_heads=n_heads, update=update,
-                matmul_dtype=matmul_dtype, remat=remat,
+                matmul_dtype=matmul_dtype, remat=remat, box=box,
             )
             if nm is not None:
                 out = out * nm
@@ -289,6 +306,7 @@ def sparse_model_forward(
     update: Sequence[bool] | bool = True,
     matmul_dtype=None,
     remat: bool = False,
+    box=None,  # (3,) periodic box: minimum-image displacements
 ):
     """Full model on a fixed neighbor list: O(N·K) work and memory.
 
@@ -308,6 +326,7 @@ def sparse_model_forward(
         return sparse_layer_forward(
             lp, hc_, xp_, vp_, idx, nbr_mask,
             n_heads=n_heads, update=upd, matmul_dtype=matmul_dtype,
+            box=box,
         )
 
     step = jax.checkpoint(layer_step, static_argnums=(1,)) if remat \

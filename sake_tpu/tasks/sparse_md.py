@@ -37,6 +37,7 @@ class SparseMDConfig:
     n_atoms: int = 4096
     n_species: int = 5
     density: float = 0.05  # atoms per unit volume (sets the box side)
+    periodic: bool = False  # minimum-image PBC over the density-derived box
     mass: float = 12.0
     v0_scale: float = 0.05  # initial Maxwell-ish velocity scale
     # model
@@ -59,6 +60,7 @@ class SparseMDConfig:
 def _synthesize_box(cfg: SparseMDConfig):
     rng = np.random.RandomState(cfg.seed)
     side = (cfg.n_atoms / cfg.density) ** (1.0 / 3.0)
+    box = jnp.asarray([side] * 3, jnp.float32) if cfg.periodic else None
     x = jnp.asarray(rng.rand(1, cfg.n_atoms, 3) * side, jnp.float32)
     species = rng.randint(0, cfg.n_species, (1, cfg.n_atoms))
     h = jax.nn.one_hot(jnp.asarray(species), cfg.n_species).astype(
@@ -67,12 +69,12 @@ def _synthesize_box(cfg: SparseMDConfig):
     v0 = jnp.asarray(
         rng.randn(1, cfg.n_atoms, 3) * cfg.v0_scale, jnp.float32
     )
-    return h, x, v0
+    return h, x, v0, box
 
 
 def run(cfg: SparseMDConfig, logger: Optional[MetricLogger] = None):
     logger = logger or MetricLogger()
-    h, x, v0 = _synthesize_box(cfg)
+    h, x, v0, box = _synthesize_box(cfg)
 
     model = SAKEModel(
         hidden_features=cfg.hidden_features,
@@ -90,7 +92,7 @@ def run(cfg: SparseMDConfig, logger: Optional[MetricLogger] = None):
 
     masses = jnp.full((cfg.n_atoms,), cfg.mass, jnp.float32)
     ef = make_sparse_energy_forces(
-        h, n_heads=cfg.n_heads, update=False, remat=cfg.remat
+        h, n_heads=cfg.n_heads, update=False, remat=cfg.remat, box=box
     )
 
     @jax.jit
@@ -98,7 +100,7 @@ def run(cfg: SparseMDConfig, logger: Optional[MetricLogger] = None):
         return neighborlist_verlet_rollout(
             ef, p, x_, v_, masses, cfg.dt, cfg.n_steps,
             cutoff=cfg.cutoff, max_neighbors=cfg.max_neighbors,
-            rebuild_every=cfg.rebuild_every, skin=cfg.skin,
+            rebuild_every=cfg.rebuild_every, skin=cfg.skin, box=box,
         )
 
     t0 = time.time()

@@ -165,6 +165,87 @@ def test_neighborlist_rollout_small_cutoff_finite(setup):
     assert float(jnp.abs(xs[-1] - x).max()) > 0  # atoms actually moved
 
 
+def test_pbc_lattice_shift_invariance(setup):
+    """With a periodic box, shifting any atom by integer lattice vectors
+    leaves energies and forces unchanged (minimum image)."""
+    kp, h, x = setup
+    rng = np.random.RandomState(3)
+    box = jnp.asarray([9.0, 10.0, 11.0], jnp.float32)
+    xb = jnp.asarray(rng.rand(2, 48, 3), jnp.float32) * box
+    shift = jnp.asarray(
+        rng.randint(-2, 3, xb.shape), jnp.float32
+    ) * box  # integer lattice translations per atom
+    from sake_tpu.sparse import make_sparse_energy_forces
+
+    ef = make_sparse_energy_forces(h, box=box, remat=True)
+
+    def run(x_):
+        idx, m = neighbor_list(x_, 3.0, 24, box=box)
+        return ef(kp, x_, idx, m)
+
+    e0, f0 = jax.jit(run)(xb)
+    e1, f1 = jax.jit(run)(xb + shift)
+    np.testing.assert_allclose(e1, e0, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(f1, f0, rtol=1e-4, atol=1e-5)
+
+
+def test_pbc_cross_boundary_pair_matches_unwrapped():
+    """A pair interacting across the box face gives exactly the E+F of the
+    equivalent unwrapped open-boundary configuration."""
+    from sake_tpu.kernels import model_params_from_linen
+    from sake_tpu.models import SAKEModel
+    from sake_tpu.sparse import make_sparse_energy_forces
+
+    L = 10.0
+    box = jnp.asarray([L, L, L], jnp.float32)
+    h = jnp.eye(2, 5, dtype=jnp.float32)[None]  # (1, 2, 5)
+    model = SAKEModel(hidden_features=16, out_features=1, depth=2)
+    params = model.init(jax.random.PRNGKey(0), h[0], jnp.zeros((2, 3)))
+    kp = model_params_from_linen(params)
+
+    # across the face: distance 0.4 via the image, 9.6 directly
+    x_pbc = jnp.asarray([[[0.2, 5.0, 5.0], [L - 0.2, 5.0, 5.0]]], jnp.float32)
+    x_open = jnp.asarray([[[0.2, 5.0, 5.0], [-0.2, 5.0, 5.0]]], jnp.float32)
+
+    ef_pbc = make_sparse_energy_forces(h, box=box, remat=False)
+    ef_open = make_sparse_energy_forces(h, remat=False)
+    idx_p, m_p = neighbor_list(x_pbc, 1.0, 1, box=box)
+    idx_o, m_o = neighbor_list(x_open, 1.0, 1)
+    assert float(m_p.sum()) == 2.0 and float(m_o.sum()) == 2.0
+    e_p, f_p = jax.jit(ef_pbc)(kp, x_pbc, idx_p, m_p)
+    e_o, f_o = jax.jit(ef_open)(kp, x_open, idx_o, m_o)
+    np.testing.assert_allclose(e_p, e_o, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(f_p, f_o, rtol=1e-5, atol=1e-6)
+
+
+def test_pbc_rollout_wraps_and_stays_finite(setup):
+    """Periodic MD rollout: positions stay in the box at sample points,
+    trajectory finite."""
+    from sake_tpu.md import neighborlist_verlet_rollout
+    from sake_tpu.sparse import make_sparse_energy_forces
+
+    kp, h, _ = setup
+    rng = np.random.RandomState(4)
+    box = jnp.asarray([8.0, 8.0, 8.0], jnp.float32)
+    x0 = jnp.asarray(rng.rand(2, 48, 3), jnp.float32) * box
+    v0 = jnp.asarray(rng.randn(2, 48, 3) * 2.0, jnp.float32)
+    masses = jnp.ones((48,), jnp.float32)
+    ef = make_sparse_energy_forces(h, box=box, remat=True)
+    xs, vs, es = jax.jit(
+        lambda p: neighborlist_verlet_rollout(
+            ef, p, x0, v0, masses, 5e-2, 8,
+            cutoff=2.0, max_neighbors=12, rebuild_every=2, skin=0.3,
+            box=box,
+        )
+    )(kp)
+    assert bool(jnp.isfinite(xs).all()) and bool(jnp.isfinite(es).all())
+    # wrapped at rebuild: every sampled frame's positions lie within one
+    # verlet interval's drift of the box
+    drift = float(jnp.abs(vs).max()) * 5e-2 * 2
+    assert float(xs.min()) > -drift - 1e-3
+    assert float(xs.max()) < 8.0 + drift + 1e-3
+
+
 def test_sparse_isolated_atoms_finite(setup):
     """Zero-neighbor rows (cutoff smaller than any pair) stay finite."""
     kp, h, x = setup

@@ -106,7 +106,8 @@ TINY = {
                           epochs_per_block=1, n_train=16, n_valid=8,
                           batch_size=8),
     "sparse_md": dict(hidden_features=8, depth=2, n_atoms=64, n_steps=8,
-                      rebuild_every=4, cutoff=4.0, max_neighbors=16),
+                      rebuild_every=4, cutoff=4.0, max_neighbors=16,
+                      periodic=True),
 }
 
 
