@@ -56,7 +56,8 @@ def main():
     from sake_tpu.kernels import model_forward, model_params_from_linen
     from sake_tpu.models import SAKEModel
     from sake_tpu.sparse import (
-        densify_neighbors, neighbor_list, sparse_model_forward,
+        cell_neighbor_list, densify_neighbors, neighbor_list,
+        sparse_model_forward,
     )
 
     rng = np.random.RandomState(0)
@@ -92,7 +93,7 @@ def main():
         h = jax.nn.one_hot(
             jnp.asarray(rng.randint(0, FEATURES, (1, n))), FEATURES
         ).astype(jnp.float32)
-        return x, h
+        return x, h, side
 
     nlist = jax.jit(
         lambda x_: neighbor_list(x_, cutoff, max_nbr, row_chunk=1024)
@@ -163,7 +164,7 @@ def main():
     dense_limit = None
     sparse_ef = make_sparse_ef()
     for n in sizes:
-        x, h = inputs(n)
+        x, h, side = inputs(n)
         row = {}
         try:
             nl_sec, (idx_n, m_n) = _time_evals(nlist, x, reps=3)
@@ -174,6 +175,36 @@ def main():
             best_sparse = (n, sec)
         except Exception as ex:  # noqa: BLE001 — OOM/compile failures
             row["sparse"] = "failed: " + str(ex).split("\n")[0][:140]
+        try:
+            # O(N·27·cap) grid-binned build vs the O(N²) all-pairs pass,
+            # both under the same periodic box; neighbor SETS must match
+            # (sorted masked indices — densify is O(N²) memory at this N)
+            box = (side,) * 3
+            cl = jax.jit(
+                lambda x_, box=box: cell_neighbor_list(
+                    x_, cutoff, max_nbr, box=box, cell_capacity=32
+                )
+            )
+            pb = jax.jit(
+                lambda x_, box=box: neighbor_list(
+                    x_, cutoff, max_nbr, row_chunk=1024, box=box
+                )
+            )
+            cl_sec, (idx_c, m_c) = _time_evals(cl, x, reps=3)
+            pb_sec, (idx_p, m_p) = _time_evals(pb, x, reps=3)
+
+            def key(i_, m_):
+                return jnp.sort(
+                    jnp.where(m_ > 0, i_, n).astype(jnp.int32), axis=-1
+                )
+
+            if bool(jnp.all(key(idx_c, m_c) == key(idx_p, m_p))):
+                row["cell_nlist"] = round(cl_sec * 1e3, 2)
+                row["allpairs_nlist_pbc"] = round(pb_sec * 1e3, 2)
+            else:
+                row["cell_nlist"] = "failed: neighbor sets differ"
+        except Exception as ex:  # noqa: BLE001 — OOM/compile failures
+            row["cell_nlist"] = "failed: " + str(ex).split("\n")[0][:140]
         for kind in ("dense", "blocked"):
             if kind == "dense" and dense_limit is not None:
                 row[kind] = "skipped (OOM at smaller N)"

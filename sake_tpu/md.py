@@ -77,6 +77,7 @@ def neighborlist_verlet_rollout(
     skin: float = 0.0,
     node_mask: Optional[jax.Array] = None,  # (B, N)
     box=None,  # (3,) orthorhombic periodic box
+    cell_capacity: Optional[int] = None,  # use the O(N) cell-list build
 ):
     """Velocity-Verlet on a cutoff force field with periodic neighbor-list
     rebuilds — large-system MD entirely on device.
@@ -93,7 +94,25 @@ def neighborlist_verlet_rollout(
     are wrapped back into the box at each rebuild. Returns
     ``(xs, vs, es)`` sampled once per rebuild interval.
     """
-    from sake_tpu.sparse import neighbor_list  # local: avoid import cycle
+    from sake_tpu.sparse import (  # local: avoid import cycle
+        cell_neighbor_list,
+        neighbor_list,
+    )
+
+    if cell_capacity is not None and box is not None:
+        # O(N·27·capacity) grid-binned build instead of the O(N²)
+        # all-pairs pass — the production large-N configuration.
+        def build_list(x_):
+            return cell_neighbor_list(
+                x_, cutoff + skin, max_neighbors, box=box,
+                cell_capacity=cell_capacity, node_mask=node_mask,
+            )
+    else:
+        def build_list(x_):
+            return neighbor_list(
+                x_, cutoff + skin, max_neighbors,
+                node_mask=node_mask, box=box,
+            )
 
     inv_m = (1.0 / masses)[..., None]
 
@@ -110,10 +129,7 @@ def neighborlist_verlet_rollout(
         if box is not None:
             bx = jnp.asarray(box, x.dtype)
             x = x - bx * jnp.floor(x / bx)
-        idx, m = neighbor_list(
-            jax.lax.stop_gradient(x), cutoff + skin, max_neighbors,
-            node_mask=node_mask, box=box,
-        )
+        idx, m = build_list(jax.lax.stop_gradient(x))
         _, f = energy_forces_fn(params, x, idx, m)
         (x, v, f, _, _), _ = jax.lax.scan(
             verlet, (x, v, f, idx, m), None, length=rebuild_every

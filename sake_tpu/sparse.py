@@ -109,6 +109,138 @@ def neighbor_list(
     return idx, nbr_mask
 
 
+def cell_neighbor_list(
+    x: jax.Array,  # (B, N, 3)
+    cutoff: float,
+    max_neighbors: int,
+    *,
+    box,  # (3,) or scalar orthorhombic periodic box — STATIC (shape-determining)
+    cell_capacity: int = 32,
+    node_mask: Optional[jax.Array] = None,  # (B, N) 1 = real atom
+    row_chunk: int = 4096,
+    with_overflow: bool = False,
+):
+    """Cell-list (grid-binned) neighbor build: O(N·27·capacity) work.
+
+    Same return contract as :func:`neighbor_list` — ``(idx (B, N, K)
+    int32, nbr_mask (B, N, K) float32)``, the K nearest in-cutoff
+    neighbors under the minimum-image convention — but built by binning
+    atoms into a static grid of cells of side ≥ ``cutoff`` and scanning
+    only the 27-cell stencil around each receiver, instead of
+    :func:`neighbor_list`'s O(N²) all-pairs distance pass. This is the
+    production-MD structure (the reference has no large-system path at
+    all; its ``SparseSAKELayer`` is vestigial — ``sake/layers.py``).
+
+    TPU-first shape discipline: ``box`` must be static (a Python
+    float/tuple, not a traced array) because the grid dimensions
+    ``floor(L/cutoff)`` are shape-determining; one compiled program then
+    serves every rebuild of a trajectory. Binning is sort-based (no
+    data-dependent scatter shapes): atoms are ``argsort``-ed by cell id,
+    ranked within their run via ``searchsorted``, and scattered into a
+    fixed ``(n_cells, capacity)`` table; rank-overflow atoms beyond
+    ``cell_capacity`` are DROPPED from the table (detectable — pass
+    ``with_overflow=True`` to get the per-batch dropped-atom count; size
+    ``cell_capacity`` ≥ the max cell occupancy for an exact list).
+
+    Falls back to :func:`neighbor_list` (identical semantics) when any
+    box dimension holds fewer than 3 cells — there the 27-cell stencil
+    would alias cells and double-count senders, and the all-pairs pass
+    is cheap anyway.
+    """
+    import numpy as np
+
+    B, N, _ = x.shape
+    K = min(max_neighbors, N)
+    box3 = tuple(float(v) for v in np.broadcast_to(np.asarray(box), (3,)))
+    ncell = tuple(max(int(L / float(cutoff)), 1) for L in box3)
+    if min(ncell) < 3:
+        out = neighbor_list(
+            x, cutoff, max_neighbors, node_mask=node_mask, box=box
+        )
+        return (*out, jnp.zeros((B,), jnp.int32)) if with_overflow else out
+
+    n_cells = ncell[0] * ncell[1] * ncell[2]
+    cap = int(cell_capacity)
+    c2 = float(cutoff) ** 2
+    widths = jnp.asarray([L / n for L, n in zip(box3, ncell)], x.dtype)
+    ncell_arr = jnp.asarray(ncell, jnp.int32)
+    bx = jnp.asarray(box3, x.dtype)
+    # static 27-cell stencil offsets
+    offs = jnp.asarray(
+        [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
+         for k in (-1, 0, 1)],
+        jnp.int32,
+    )
+    rc = row_chunk if N % row_chunk == 0 else N
+    nc = N // rc
+
+    def one(xb, nmb):
+        xw = xb - bx * jnp.floor(xb / bx)  # wrap into [0, L)
+        ci = jnp.clip(
+            jnp.floor(xw / widths).astype(jnp.int32), 0, ncell_arr - 1
+        )  # (N, 3)
+        cid = (ci[:, 0] * ncell[1] + ci[:, 1]) * ncell[2] + ci[:, 2]
+        if nmb is not None:  # padded atoms -> trash cell (never candidates)
+            cid = jnp.where(nmb > 0, cid, n_cells)
+        order = jnp.argsort(cid).astype(jnp.int32)
+        scid = cid[order]
+        first = jnp.searchsorted(scid, scid, side="left")
+        rank = jnp.arange(N, dtype=jnp.int32) - first.astype(jnp.int32)
+        real = scid < n_cells
+        ok = (rank < cap) & real
+        slot = jnp.where(ok, scid * cap + rank, n_cells * cap)
+        table = (
+            jnp.full((n_cells * cap + 1,), N, jnp.int32).at[slot].set(order)
+        )[: n_cells * cap].reshape(n_cells, cap)
+        overflow = ((rank >= cap) & real).sum().astype(jnp.int32)
+
+        xpad = jnp.concatenate(
+            [xw, jnp.full((1, 3), 2.0 * max(box3) + cutoff, x.dtype)]
+        )
+
+        def rows(args):
+            ci_r, i_ids, xw_r = args  # (rc, 3), (rc,), (rc, 3)
+            nb = (ci_r[:, None, :] + offs[None]) % ncell_arr  # (rc, 27, 3)
+            nb_id = (nb[..., 0] * ncell[1] + nb[..., 1]) * ncell[2] + nb[
+                ..., 2
+            ]
+            cand = table[nb_id].reshape(rc, 27 * cap)  # (rc, M)
+            diff = _min_image(xw_r[:, None, :] - xpad[cand], bx)
+            d2 = (diff * diff).sum(-1)
+            valid = (cand != i_ids[:, None]) & (cand < N) & (d2 < c2)
+            score = jnp.where(valid, -d2, -jnp.inf)
+            kc = min(K, 27 * cap)  # candidate set can be smaller than K
+            vals, sel = jax.lax.top_k(score, kc)
+            m = vals > -jnp.inf
+            idx = jnp.take_along_axis(cand, sel, axis=1)
+            idx = jnp.where(m, idx, 0).astype(jnp.int32)
+            m = m.astype(jnp.float32)
+            if kc < K:
+                idx = jnp.pad(idx, ((0, 0), (0, K - kc)))
+                m = jnp.pad(m, ((0, 0), (0, K - kc)))
+            return idx, m
+
+        ids = jnp.arange(N, dtype=jnp.int32)
+        idx_c, m_c = jax.lax.map(
+            rows,
+            (
+                ci.reshape(nc, rc, 3),
+                ids.reshape(nc, rc),
+                xw.reshape(nc, rc, 3),
+            ),
+        )
+        return idx_c.reshape(N, K), m_c.reshape(N, K), overflow
+
+    idx, nbr_mask, overflow = jax.vmap(
+        one, in_axes=(0, 0 if node_mask is not None else None)
+    )(x, node_mask)
+    if node_mask is not None:  # padded receivers have no neighbors
+        nbr_mask = nbr_mask * node_mask[:, :, None]
+    if with_overflow:
+        return idx, nbr_mask, overflow
+    return idx, nbr_mask
+
+
 def densify_neighbors(idx, nbr_mask, n: int):
     """(B, N, K) neighbor list -> (B, N, n) dense edge mask (for the
     exactness tests against the masked dense path)."""

@@ -50,6 +50,9 @@ class SparseMDConfig:
     max_neighbors: int = 64
     skin: float = 0.5
     rebuild_every: int = 10
+    # None = O(N²) all-pairs build; an int selects the O(N·27·cap)
+    # cell-list build (periodic boxes only)
+    cell_capacity: Optional[int] = None
     # integration
     dt: float = 1e-3
     n_steps: int = 100
@@ -101,6 +104,7 @@ def run(cfg: SparseMDConfig, logger: Optional[MetricLogger] = None):
             ef, p, x_, v_, masses, cfg.dt, cfg.n_steps,
             cutoff=cfg.cutoff, max_neighbors=cfg.max_neighbors,
             rebuild_every=cfg.rebuild_every, skin=cfg.skin, box=box,
+            cell_capacity=cfg.cell_capacity if cfg.periodic else None,
         )
 
     t0 = time.time()

@@ -253,3 +253,84 @@ def test_sparse_isolated_atoms_finite(setup):
     assert float(m.sum()) == 0.0
     out, x_o, _ = sparse_model_forward(kp, h, x, idx, m)
     assert bool(jnp.isfinite(out).all()) and bool(jnp.isfinite(x_o).all())
+
+
+def test_cell_list_matches_chunked_build():
+    """Grid-binned O(N·27·cap) build == the all-pairs O(N²) build on the
+    same periodic box (identical neighbor sets via the densified mask),
+    including coordinates far outside the box (wrap) and padded atoms."""
+    from sake_tpu.sparse import cell_neighbor_list
+
+    rng = np.random.RandomState(3)
+    B, N, K = 2, 257, 32  # N indivisible by row_chunk -> whole-row path
+    box = (12.0, 15.0, 13.0)
+    x = jnp.asarray(
+        rng.rand(B, N, 3) * np.asarray(box) * 3.0 - 7.0, jnp.float32
+    )
+    i1, m1 = neighbor_list(x, 3.0, K, box=box)
+    i2, m2, ov = cell_neighbor_list(
+        x, 3.0, K, box=box, cell_capacity=64, with_overflow=True
+    )
+    assert int(np.asarray(ov).max()) == 0
+    assert jnp.all(densify_neighbors(i1, m1, N) == densify_neighbors(i2, m2, N))
+    assert int(i2.min()) >= 0 and int(i2.max()) < N
+
+    nm = jnp.asarray((rng.rand(B, N) > 0.2).astype(np.float32))
+    i1, m1 = neighbor_list(x, 3.0, K, box=box, node_mask=nm)
+    i2, m2 = cell_neighbor_list(
+        x, 3.0, K, box=box, cell_capacity=64, node_mask=nm
+    )
+    assert jnp.all(densify_neighbors(i1, m1, N) == densify_neighbors(i2, m2, N))
+    assert jnp.all(m2.sum(-1) * (1 - nm) == 0)  # padded receivers empty
+
+
+def test_cell_list_small_box_fallback_and_overflow():
+    from sake_tpu.sparse import cell_neighbor_list
+
+    rng = np.random.RandomState(4)
+    B, N, K = 1, 64, 16
+    box = (12.0, 15.0, 13.0)
+    x = jnp.asarray(rng.rand(B, N, 3) * np.asarray(box), jnp.float32)
+    # cutoff 6 -> 2 cells/dim: must fall back to the exact all-pairs build
+    i1, m1 = neighbor_list(x, 6.0, K, box=box)
+    i2, m2 = cell_neighbor_list(x, 6.0, K, box=box)
+    assert jnp.all(densify_neighbors(i1, m1, N) == densify_neighbors(i2, m2, N))
+    # capacity 1 drops atoms and reports them; masks stay a valid subset
+    i3, m3, ov = cell_neighbor_list(
+        x, 3.0, K, box=box, cell_capacity=1, with_overflow=True
+    )
+    assert int(np.asarray(ov).max()) > 0
+    d_full = densify_neighbors(*neighbor_list(x, 3.0, K, box=box), N)
+    d_sub = densify_neighbors(i3, m3, N)
+    assert jnp.all(d_sub <= d_full)
+
+
+def test_rollout_cell_list_matches_allpairs_build():
+    """One compiled rollout program, cell-list vs all-pairs builds ->
+    identical trajectories (the builds produce the same graphs)."""
+    from sake_tpu.md import neighborlist_verlet_rollout
+    from sake_tpu.sparse import make_sparse_energy_forces
+
+    rng = np.random.RandomState(5)
+    B, N, F = 1, 96, 4
+    box = (9.0, 9.0, 9.0)
+    h = jnp.asarray(rng.randn(B, N, F), jnp.float32)
+    x0 = jnp.asarray(rng.rand(B, N, 3) * 9.0, jnp.float32)
+    v0 = jnp.zeros_like(x0)
+    model = SAKEModel(hidden_features=8, out_features=1, depth=2)
+    params = model.init(jax.random.PRNGKey(0), h[0], x0[0])
+    kp = model_params_from_linen(params)
+    ef = make_sparse_energy_forces(h, box=box)
+    kw = dict(
+        dt=5e-4, n_steps=4, cutoff=2.5, max_neighbors=16,
+        rebuild_every=2, box=box,
+    )
+    masses = jnp.ones((N,))
+    xs_a, _, es_a = neighborlist_verlet_rollout(
+        ef, kp, x0, v0, masses, **kw
+    )
+    xs_c, _, es_c = neighborlist_verlet_rollout(
+        ef, kp, x0, v0, masses, cell_capacity=32, **kw
+    )
+    np.testing.assert_allclose(np.asarray(xs_a), np.asarray(xs_c), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(es_a), np.asarray(es_c), rtol=1e-6)
