@@ -113,7 +113,7 @@ def main():
 
     # ---- verification gate at the smallest size --------------------------
     n0 = sizes[0]
-    x0, h0 = inputs(n0)
+    x0, h0, _ = inputs(n0)
     (e_d, f_d) = jax.block_until_ready(make_ef("dense", n0)(x0, h0))
     (e_b, f_b) = jax.block_until_ready(make_ef("blocked", n0)(x0, h0))
     e_err = float(abs(e_b - e_d) / (abs(e_d) + 1e-9))
@@ -198,11 +198,24 @@ def main():
                     jnp.where(m_ > 0, i_, n).astype(jnp.int32), axis=-1
                 )
 
-            if bool(jnp.all(key(idx_c, m_c) == key(idx_p, m_p))):
+            # compare only rows whose coordination fits max_nbr: when the
+            # true coordination exceeds K, both builds truncate to
+            # K-nearest with different tie-breaking and a full-set
+            # comparison would spuriously fail (e.g. a user-supplied
+            # larger cutoff via argv)
+            full_c = m_c.sum(-1) < max_nbr
+            full_p = m_p.sum(-1) < max_nbr
+            cmp_rows = (full_c & full_p)[..., None]
+            kc = jnp.where(cmp_rows, key(idx_c, m_c), 0)
+            kp_ = jnp.where(cmp_rows, key(idx_p, m_p), 0)
+            if bool(jnp.all(kc == kp_)):
                 row["cell_nlist"] = round(cl_sec * 1e3, 2)
                 row["allpairs_nlist_pbc"] = round(pb_sec * 1e3, 2)
             else:
-                row["cell_nlist"] = "failed: neighbor sets differ"
+                row["cell_nlist"] = (
+                    "failed: neighbor sets differ on rows with "
+                    "coordination < max_nbr"
+                )
         except Exception as ex:  # noqa: BLE001 — OOM/compile failures
             row["cell_nlist"] = "failed: " + str(ex).split("\n")[0][:140]
         for kind in ("dense", "blocked"):

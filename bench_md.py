@@ -31,7 +31,7 @@ def main():
 
     from sake_tpu.data.md17 import ASPIRIN_Z
     from sake_tpu.kernels import model_params_from_linen
-    from sake_tpu.kernels.resid_ef import resid_energy_forces
+    from sake_tpu.kernels import dispatch_energy_forces
     from sake_tpu.md import velocity_verlet_rollout
     from sake_tpu.models import SAKEModel
     from sake_tpu.tasks.md17 import make_energy_force_fn
@@ -55,11 +55,9 @@ def main():
         return e.ravel(), f
 
     def ef_kern(p, x):
-        return resid_energy_forces(
-            p, h, x, batch_tile=8, edge_matmul_dtype=jnp.bfloat16,
-            resid_dtype=jnp.bfloat16, pad_atoms=True,
-            chunk=min(batch, 512),
-        )
+        # batch-aware dispatch picks resid_ef below 2048 and one_ef above
+        # (the measured crossover — kernels/dispatch.py)
+        return dispatch_energy_forces(p, h, x)
 
     def measure(ef, p):
         roll = jax.jit(

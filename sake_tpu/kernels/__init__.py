@@ -11,6 +11,7 @@ from sake_tpu.kernels.adapter import (
     model_params_from_linen,
     layer_params_from_linen,
 )
+from sake_tpu.kernels.dispatch import dispatch_energy_forces
 from sake_tpu.kernels.fused_ef import fused_energy_forces
 from sake_tpu.kernels.fori_ef import fori_energy_forces
 from sake_tpu.kernels.one_ef import one_energy_forces
@@ -25,6 +26,7 @@ __all__ = [
     "energy_and_forces_fn",
     "model_params_from_linen",
     "layer_params_from_linen",
+    "dispatch_energy_forces",
     "fused_energy_forces",
     "fori_energy_forces",
     "one_energy_forces",

@@ -78,6 +78,7 @@ def neighborlist_verlet_rollout(
     node_mask: Optional[jax.Array] = None,  # (B, N)
     box=None,  # (3,) orthorhombic periodic box
     cell_capacity: Optional[int] = None,  # use the O(N) cell-list build
+    with_overflow: bool = False,
 ):
     """Velocity-Verlet on a cutoff force field with periodic neighbor-list
     rebuilds — large-system MD entirely on device.
@@ -92,26 +93,41 @@ def neighborlist_verlet_rollout(
     With ``box``, displacements use the minimum-image convention (the
     force field must have been built with the same ``box``) and positions
     are wrapped back into the box at each rebuild. Returns
-    ``(xs, vs, es)`` sampled once per rebuild interval.
+    ``(xs, vs, es)`` sampled once per rebuild interval — or
+    ``(xs, vs, es, overflows)`` with ``with_overflow=True``, where
+    ``overflows (n_intervals, B) int32`` counts neighbors each rebuild
+    DROPPED (beyond ``max_neighbors``, or past ``cell_capacity`` in a
+    cell): any nonzero entry means the trajectory ran on a truncated
+    graph — raise the capacity/K until it stays 0. Density fluctuations
+    during long MD can overflow a capacity that was fine at t=0, so
+    production runs should check this.
     """
     from sake_tpu.sparse import (  # local: avoid import cycle
         cell_neighbor_list,
         neighbor_list,
     )
 
-    if cell_capacity is not None and box is not None:
+    if cell_capacity is not None and box is None:
+        raise ValueError(
+            "cell_capacity requires a periodic `box` (the cell grid is "
+            "sized from it); for open boundaries drop cell_capacity to "
+            "use the O(N^2)-work all-pairs build"
+        )
+
+    if cell_capacity is not None:
         # O(N·27·capacity) grid-binned build instead of the O(N²)
         # all-pairs pass — the production large-N configuration.
         def build_list(x_):
             return cell_neighbor_list(
                 x_, cutoff + skin, max_neighbors, box=box,
                 cell_capacity=cell_capacity, node_mask=node_mask,
+                with_overflow=True,
             )
     else:
         def build_list(x_):
             return neighbor_list(
                 x_, cutoff + skin, max_neighbors,
-                node_mask=node_mask, box=box,
+                node_mask=node_mask, box=box, with_overflow=True,
             )
 
     inv_m = (1.0 / masses)[..., None]
@@ -129,18 +145,20 @@ def neighborlist_verlet_rollout(
         if box is not None:
             bx = jnp.asarray(box, x.dtype)
             x = x - bx * jnp.floor(x / bx)
-        idx, m = build_list(jax.lax.stop_gradient(x))
+        idx, m, ovf = build_list(jax.lax.stop_gradient(x))
         _, f = energy_forces_fn(params, x, idx, m)
         (x, v, f, _, _), _ = jax.lax.scan(
             verlet, (x, v, f, idx, m), None, length=rebuild_every
         )
         e, _ = energy_forces_fn(params, x, idx, m)
-        return (x, v), (x, v, e)
+        return (x, v), (x, v, e, ovf)
 
     n_intervals = n_steps // rebuild_every
-    _, (xs, vs, es) = jax.lax.scan(
+    _, (xs, vs, es, ovfs) = jax.lax.scan(
         interval, (x0, v0), None, length=n_intervals
     )
+    if with_overflow:
+        return xs, vs, es, ovfs
     return xs, vs, es
 
 

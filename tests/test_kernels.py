@@ -889,3 +889,57 @@ def test_one_kernel_masked_interpret(setup):
     e, f = one_energy_forces(kp, h, x, mask, batch_tile=2, interpret=True)
     np.testing.assert_allclose(e, e_ref, **TOL)
     np.testing.assert_allclose(f, f_ref, **TOL)
+
+
+def test_dispatch_energy_forces(setup, monkeypatch):
+    """Batch-aware dispatch (VERDICT r3 item 8): one public entry point
+    must pick the measured champion per batch — one_ef at >=2048,
+    resid_ef below — with tiles that divide the batch."""
+    from sake_tpu.kernels import dispatch
+    from sake_tpu.kernels import dispatch_energy_forces  # package export
+
+    model, params, kp, h, x = setup
+
+    calls = []
+    monkeypatch.setattr(
+        dispatch, "one_energy_forces",
+        lambda *a, **kw: calls.append(("one", kw)) or ("e", "f"),
+    )
+    monkeypatch.setattr(
+        dispatch, "resid_energy_forces",
+        lambda *a, **kw: calls.append(("resid", kw)) or ("e", "f"),
+    )
+
+    def fake(b):
+        hh = jnp.zeros((b, 7, 5), jnp.float32)
+        return hh, jnp.zeros((b, 7, 3), jnp.float32)
+
+    dispatch.dispatch_energy_forces(kp, *fake(2048))
+    dispatch.dispatch_energy_forces(kp, *fake(512))
+    dispatch.dispatch_energy_forces(kp, *fake(12))  # 12 % 8 != 0
+    (k0, kw0), (k1, kw1), (k2, kw2) = calls
+    assert k0 == "one" and kw0["batch_tile"] == 4
+    assert k1 == "resid" and kw1["batch_tile"] == 8
+    assert k2 == "resid" and kw2["batch_tile"] == 4
+    # production tier is baked in
+    assert kw0["edge_matmul_dtype"] == jnp.bfloat16
+    assert kw0["resid_dtype"] == jnp.bfloat16
+    # overrides reach the kernel
+    dispatch.dispatch_energy_forces(kp, *fake(2048), batch_tile=2)
+    assert calls[-1][1]["batch_tile"] == 2
+
+    # real interpret-mode run through the dispatcher (small batch ->
+    # resid path), full-precision overrides -> exact vs the lax oracle
+    monkeypatch.undo()
+
+    def energy(x_):
+        out, _, _ = model.apply(params, h, x_)
+        return out.sum(), out.sum(axis=(-2, -1))
+
+    (_, e_ref), g = jax.value_and_grad(energy, has_aux=True)(x)
+    e, f = dispatch_energy_forces(
+        kp, h, x, interpret=True, batch_tile=2,
+        edge_matmul_dtype=None, resid_dtype=jnp.float32, resid_lowp=None,
+    )
+    np.testing.assert_allclose(e, e_ref, **TOL)
+    np.testing.assert_allclose(f, -g, **TOL)

@@ -334,3 +334,79 @@ def test_rollout_cell_list_matches_allpairs_build():
     )
     np.testing.assert_allclose(np.asarray(xs_a), np.asarray(xs_c), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(es_a), np.asarray(es_c), rtol=1e-6)
+
+
+def test_neighbor_list_overflow_signal():
+    """with_overflow counts in-cutoff senders dropped beyond K exactly
+    (VERDICT r3 item 6: silent K-truncation must be detectable)."""
+    # 5 atoms in a tight cluster: every pair within the cutoff
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(1, 5, 3) * 0.1, jnp.float32
+    )
+    idx, m, ovf = neighbor_list(x, 10.0, 2, with_overflow=True)
+    # each of the 5 rows has 4 in-cutoff senders, keeps 2 -> drops 2
+    assert int(ovf[0]) == 5 * 2
+    assert float(m.sum()) == 5 * 2
+    # adequate K -> exact list, overflow 0
+    _, m4, ovf0 = neighbor_list(x, 10.0, 4, with_overflow=True)
+    assert int(ovf0[0]) == 0
+    assert float(m4.sum()) == 5 * 4
+
+
+def test_cell_neighbor_list_overflow_counts_truncation():
+    """The cell-list overflow includes K-truncated in-cutoff senders, not
+    just capacity-dropped atoms."""
+    from sake_tpu.sparse import cell_neighbor_list
+
+    rng = np.random.RandomState(2)
+    side, n = 9.0, 64
+    x = jnp.asarray(rng.rand(1, n, 3) * side, jnp.float32)
+    box = (side,) * 3
+    # generous capacity, tiny K: overflow must equal the all-pairs count
+    idx, m, ovf = cell_neighbor_list(
+        x, 2.9, 2, box=box, cell_capacity=64, with_overflow=True
+    )
+    _, _, ovf_ap = neighbor_list(x, 2.9, 2, box=box, with_overflow=True)
+    assert int(ovf[0]) == int(ovf_ap[0])
+    # adequate K on the same geometry -> 0
+    _, _, ovf_ok = cell_neighbor_list(
+        x, 2.9, 32, box=box, cell_capacity=64, with_overflow=True
+    )
+    assert int(ovf_ok[0]) == 0
+
+
+def test_rollout_overflow_surface_and_cell_capacity_guard(setup):
+    from sake_tpu.md import neighborlist_verlet_rollout
+    from sake_tpu.sparse import make_sparse_energy_forces
+
+    kp, h, x = setup
+    B, N = x.shape[:2]
+    masses = jnp.ones((N,), jnp.float32)
+    v0 = jnp.zeros_like(x)
+    ef = make_sparse_energy_forces(h, update=False)
+    out = jax.jit(
+        lambda p, x_: neighborlist_verlet_rollout(
+            ef, p, x_, v0, masses, 1e-3, 4,
+            cutoff=2.5, max_neighbors=2, rebuild_every=2,
+            with_overflow=True,
+        )
+    )(kp, x)
+    assert len(out) == 4
+    ovfs = out[3]
+    assert ovfs.shape == (2, B)
+    assert int(jnp.asarray(ovfs).max()) > 0  # K=2 truncates this cluster
+    # adequate K reports clean
+    _, _, _, ovfs_ok = jax.jit(
+        lambda p, x_: neighborlist_verlet_rollout(
+            ef, p, x_, v0, masses, 1e-3, 4,
+            cutoff=2.5, max_neighbors=32, rebuild_every=2,
+            with_overflow=True,
+        )
+    )(kp, x)
+    assert int(jnp.asarray(ovfs_ok).max()) == 0
+    # ADVICE r3: cell_capacity without a box must fail loudly
+    with pytest.raises(ValueError, match="cell_capacity"):
+        neighborlist_verlet_rollout(
+            ef, kp, x, v0, masses, 1e-3, 4,
+            cutoff=2.5, max_neighbors=8, cell_capacity=16,
+        )

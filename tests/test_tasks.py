@@ -232,3 +232,44 @@ def test_qm9_bucketed_training():
         )
     )
     _finite(results)
+
+
+def test_sweep_driver_grid(tmp_path):
+    """`sake-tpu sweep` grid runner (layer-6 parity with the reference's
+    nested-for LSF scripts, scripts/nbody/run.sh): cartesian cells, JSONL
+    per cell, failed cells recorded without killing the sweep."""
+    from sake_tpu.tasks.sweep import parse_sweep_axes, run_sweep
+
+    axes = parse_sweep_axes(
+        ["hidden_features=4,8", "depth=1", "n_epochs=1",
+         "epochs_per_block=1", "n_train=50,100", "n_valid=50", "n_test=50",
+         "batch_size=50"]
+    )
+    assert axes["hidden_features"] == [4, 8]
+    assert axes["depth"] == [1]  # single value = 1-point axis
+    assert axes["n_train"] == [50, 100]
+    # tuple values survive top-level comma splitting
+    assert parse_sweep_axes(["box=(1,2),(3,4)"])["box"] == [(1, 2), (3, 4)]
+
+    out = tmp_path / "sweep"
+    cells = run_sweep("nbody", axes, out_dir=str(out))
+    assert len(cells) == 4  # 2 x 2 grid
+    assert all(c["ok"] for c in cells)
+    assert {(c["hidden_features"], c["n_train"]) for c in cells} == {
+        (4, 50), (4, 100), (8, 50), (8, 100)
+    }
+    import json as _json
+
+    lines = (out / "cells.jsonl").read_text().splitlines()
+    assert len(lines) == 4
+    assert all("results" in _json.loads(ln) for ln in lines)
+    # per-cell metric streams exist and are JSONL
+    assert (out / "cell_000.jsonl").exists()
+    _json.loads((out / "cell_000.jsonl").read_text().splitlines()[0])
+
+    # a bad cell is recorded, the sweep continues
+    bad = run_sweep(
+        "nbody", {"no_such_field": [1, 2]}, out_dir=str(tmp_path / "bad")
+    )
+    assert len(bad) == 2 and not any(c["ok"] for c in bad)
+    assert "error" in bad[0]
