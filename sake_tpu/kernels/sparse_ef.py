@@ -1,0 +1,534 @@
+"""Pallas edge kernels for the cutoff-sparse path: O(N·K) work at
+kernel-fused memory traffic (VERDICT r3 item 2).
+
+``sake_tpu.sparse`` runs the SAKE layer on gathered (B, N, K)
+neighborhoods in pure lax; measured on-chip the XLA program streams every
+(E, 256)-wide edge intermediate through HBM (the same wall that made the
+dense lax path 20x memory-bound). This module fuses the ENTIRE per-layer
+edge chain — rbf → CFConv filter → h_e → semantic attention (softmax +
+mask renormalization over the K neighbor axis) → head expansion → spatial
+coefficients → pooled reductions — into one Pallas kernel per layer:
+
+- the edge grid lives only in VMEM; HBM sees the gathered INPUTS
+  (pre (E, R), oji (E, H), three (E, 1) displacement planes, the mask)
+  and the per-receiver OUTPUTS (3 pooled (N, C) planes + the (N, HK)
+  attention-aggregated features);
+- gathers/scatters and the node-level matmuls stay in XLA (tiny at
+  O(N·ch), and XLA's gather/transposed-scatter lowering is already
+  tuned); the kernel boundary is exactly the O(N·K·ch) edge work;
+- the backward is a second kernel that RECOMPUTES the edge chain from
+  the saved inputs and applies the hand-written pullback (the
+  ``resid_ef.layer_bwd_resid`` recipe restricted to the edge scope) —
+  zero residual HBM traffic, ~2.2x forward cost;
+- the layer loop is a ``lax.scan`` over depth-stacked leaves (one trace,
+  one Mosaic compile regardless of depth — the round-1 lesson).
+
+Differentiation contract: the edge op's ``custom_vjp`` produces INPUT
+cotangents only (what force evaluation ``F = -dE/dx`` consumes); its
+parameter cotangents are ZERO. ``make_sparse_kernel_energy_forces``
+is therefore the supported entry point — for *training* on the sparse
+path use ``sake_tpu.sparse`` (lax autodiff, exact param grads).
+
+Numerics match ``sparse.sparse_model_forward`` (same masked-dense
+semantics: −INF logits, renormalized attention, count-based divisors),
+which in turn equals the masked dense oracle (tested); the per-head
+mixing loop is replaced by the dense kernels' ``e_rep``/``e_tile``
+expansion matmuls (equivalent, tested). Reference behavior:
+``/root/reference/sake/layers.py:188-235`` (the reference's own sparse
+layer is vestigial/broken — ``sake/layers.py:266-409``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sake_tpu.kernels.depthgrid_ef import (
+    _LEAF_NAMES,
+    _compiler_params,
+    _make_mm_prec,
+    wide_stack,
+)
+from sake_tpu.kernels.functional import EPSILON, INF, ModelParams, _silu
+from sake_tpu.kernels.split_ef import head_expansion_matrices
+
+
+def _dsilu(x):
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+# leaves the edge kernel consumes (in _LEAF_NAMES order, filtered)
+_EDGE_LEAVES = (
+    "rbf_m", "rbf_b", "w_o_f", "w_o_r", "w_o1", "b_o1",
+    "w_sem", "b_sem", "w_xmix",
+)
+
+
+def _row_spec(shape, bn):
+    """(NR, ...) array blocked to (bn, ...) along the receiver-row axis."""
+    nd = len(shape)
+    return pl.BlockSpec(
+        (bn,) + shape[1:], lambda i, nd=nd: (i,) + (0,) * (nd - 1),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _const_spec(a):
+    return pl.BlockSpec(
+        a.shape, lambda i, nd=a.ndim: (0,) * nd, memory_space=pltpu.VMEM
+    )
+
+
+def _edge_chain(pre, oji, d0, m, ep, mm_e):
+    """The per-edge forward chain on one (BN, K, ·) receiver block.
+    Returns the pooled outputs and every intermediate the pullback needs.
+    Must match ``sparse.sparse_layer_forward``'s edge scope exactly."""
+    BN, K, R = pre.shape
+    H = oji.shape[-1]
+    E2 = BN * K
+
+    r = jnp.sqrt(
+        jax.nn.relu(d0[0] * d0[0] + d0[1] * d0[1] + d0[2] * d0[2]) + EPSILON
+    )  # (BN, K, 1)
+    t = jnp.exp(-r)
+    rbf = jnp.exp(-ep["rbf_b"] * (t - ep["rbf_m"]) ** 2)  # (BN, K, R)
+    filtered = rbf * pre
+    o_f = mm_e(filtered.reshape(E2, R), ep["w_o_f"]).reshape(BN, K, H)
+    e0 = oji + o_f + r * ep["w_o_r"][0]
+    h_e = mm_e(_silu(e0).reshape(E2, H), ep["w_o1"]).reshape(
+        BN, K, H
+    ) + ep["b_o1"]
+
+    Kh = ep["w_sem"].shape[-1]
+    sem_pre = mm_e(h_e.reshape(E2, H), ep["w_sem"]).reshape(
+        BN, K, Kh
+    ) + ep["b_sem"]
+    logits = jnp.where(
+        sem_pre > 0, sem_pre, 2.0 * (jnp.exp(sem_pre / 2.0) - 1.0)
+    )
+    logits = logits - INF * (1.0 - m)
+    att = jax.nn.softmax(logits, axis=-2)
+    att_s = att * m
+    denom = att_s.sum(axis=-2, keepdims=True)
+    dg = jnp.where(denom == 0.0, 1.0, denom)
+    att2 = att_s / dg
+
+    heE = mm_e(h_e.reshape(E2, H), ep["e_rep"])
+    attE = mm_e(att2.reshape(E2, Kh), ep["e_tile"])
+    he_att = heE * attE  # (E2, HK)
+    HK = he_att.shape[-1]
+    C = ep["w_xmix"].shape[-1]
+    tanh_v = jnp.tanh(
+        mm_e(he_att, ep["w_xmix"]).reshape(BN, K, C)
+    )
+    coeff = tanh_v * m
+
+    inv_r = 1.0 / (r + 1e-5)
+    u = [dk * inv_r for dk in d0]
+    pooled = [(coeff * u[k]).sum(axis=-2) for k in range(3)]  # (BN, C)
+    hatt = he_att.reshape(BN, K, HK).sum(axis=-2)  # (BN, HK)
+    return dict(
+        r=r, t=t, rbf=rbf, e0=e0, h_e=h_e, sem_pre=sem_pre, att=att,
+        att_s=att_s, denom=denom, dg=dg, att2=att2, heE=heE, attE=attE,
+        he_att=he_att, tanh_v=tanh_v, coeff=coeff, inv_r=inv_r, u=u,
+        pooled=pooled, hatt=hatt,
+    )
+
+
+def _edge_pullback(pre, oji, d0, m, ep, mm_e, f, g_pooled, g_hatt):
+    """Hand-written pullback of ``_edge_chain`` w.r.t. (pre, oji, d0):
+    the ``layer_bwd_resid`` recipe restricted to the edge scope, driven
+    by recomputed intermediates ``f``."""
+    BN, K, R = pre.shape
+    H = oji.shape[-1]
+    E2 = BN * K
+    Kh = ep["w_sem"].shape[-1]
+    C = ep["w_xmix"].shape[-1]
+    HK = f["he_att"].shape[-1]
+
+    # pooled_k = sum_K coeff * u_k ; hatt = sum_K he_att
+    d_coeff = (
+        g_pooled[0][:, None, :] * f["u"][0]
+        + g_pooled[1][:, None, :] * f["u"][1]
+        + g_pooled[2][:, None, :] * f["u"][2]
+    )  # (BN, K, C)
+    d_u = [
+        (f["coeff"] * g_pooled[k][:, None, :]).sum(axis=-1, keepdims=True)
+        for k in range(3)
+    ]
+
+    # coeff = tanh(xm) * m
+    d_xm = d_coeff * m * (1.0 - f["tanh_v"] * f["tanh_v"])
+    d_he_att = mm_e(d_xm.reshape(E2, C), ep["w_xmix"].T) + jnp.broadcast_to(
+        g_hatt[:, None, :], (BN, K, HK)
+    ).reshape(E2, HK)
+
+    # he_att = (h_e @ e_rep) * (att2 @ e_tile)
+    d_h_e = mm_e(d_he_att * f["attE"], ep["e_rep"].T).reshape(BN, K, H)
+    d_att2 = mm_e(d_he_att * f["heE"], ep["e_tile"].T).reshape(BN, K, Kh)
+
+    # att2 = att*m / dg renormalization
+    live = (f["denom"] != 0.0).astype(d_att2.dtype)
+    d_att = (
+        d_att2 / f["dg"]
+        - live
+        * (d_att2 * f["att_s"]).sum(axis=-2, keepdims=True)
+        / (f["dg"] * f["dg"])
+    ) * m
+
+    # softmax over the K neighbor axis
+    att = f["att"]
+    d_logits = att * (d_att - (d_att * att).sum(axis=-2, keepdims=True))
+
+    # logits = celu2(sem_pre) + additive mask (const)
+    dcelu = jnp.where(
+        f["sem_pre"] > 0, 1.0, jnp.exp(f["sem_pre"] / 2.0)
+    )
+    d_sem = d_logits * dcelu
+    d_h_e = d_h_e + mm_e(d_sem.reshape(E2, Kh), ep["w_sem"].T).reshape(
+        BN, K, H
+    )
+
+    # h_e = silu(e0) @ w_o1 + b_o1
+    d_se = mm_e(d_h_e.reshape(E2, H), ep["w_o1"].T)
+    d_e0 = (d_se * _dsilu(f["e0"].reshape(E2, H))).reshape(BN, K, H)
+
+    # e0 = oji + o_f + r * w_o_r
+    d_oji = d_e0
+    d_r = (d_e0 * ep["w_o_r"][0]).sum(axis=-1, keepdims=True)
+
+    # o_f = (rbf * pre) @ w_o_f
+    d_filtered = mm_e(d_e0.reshape(E2, H), ep["w_o_f"].T).reshape(BN, K, R)
+    d_rbf = d_filtered * pre
+    d_pre = d_filtered * f["rbf"]
+
+    # rbf = exp(-b (t - m)^2), t = exp(-r)
+    d_t = (
+        d_rbf * f["rbf"] * (-2.0 * ep["rbf_b"] * (f["t"] - ep["rbf_m"]))
+    ).sum(axis=-1, keepdims=True)
+    d_r = d_r + (-f["t"]) * d_t
+
+    # u_k = d0_k * inv_r, inv_r = 1/(r + 1e-5)
+    inv_r = f["inv_r"]
+    d_d0 = [d_u[k] * inv_r for k in range(3)]
+    d_ir = d_u[0] * d0[0] + d_u[1] * d0[1] + d_u[2] * d0[2]
+    d_r = d_r - (inv_r * inv_r) * d_ir
+
+    # r = sqrt(relu(s) + eps), s = sum d0^2
+    r = f["r"]
+    pos = (r * r > EPSILON).astype(r.dtype)
+    d_s = d_r * (0.5 / r) * pos
+    for k in range(3):
+        d_d0[k] = d_d0[k] + 2.0 * d0[k] * d_s
+    return d_pre, d_oji, d_d0
+
+
+def _make_edge_op(
+    BN: int,
+    edge_matmul_dtype=None,
+    edge_precision=None,
+    interpret: bool = False,
+    vmem_limit: int | None = None,
+):
+    """Build the custom-vjp edge op for a given receiver-block size.
+
+    Signature: ``op(pre (NR,K,R), oji (NR,K,H), d00, d01, d02 (NR,K,1),
+    m (NR,K,1), *edge_leaves) -> (p0, p1, p2 (NR,C), hatt (NR,HK))``.
+    Edge-leaf cotangents are ZERO (see the module docstring).
+    """
+    mm_e = _make_mm_prec(edge_matmul_dtype, edge_precision)
+    names = _EDGE_LEAVES + ("e_rep", "e_tile")
+
+    def _call_fwd(pre, oji, d00, d01, d02, m, *leaves):
+        NR, K, R = pre.shape
+        H = oji.shape[-1]
+        ep = dict(zip(names, leaves))
+        HK = ep["e_rep"].shape[-1]
+        C = ep["w_xmix"].shape[-1]
+        grid = (NR // BN,)
+
+        def fwd_kernel(pre_r, oji_r, d0_r, d1_r, d2_r, m_r, *refs):
+            lrefs, orefs = refs[: len(names)], refs[len(names):]
+            epk = {n: lr[:] for n, lr in zip(names, lrefs)}
+            f = _edge_chain(
+                pre_r[:], oji_r[:], [d0_r[:], d1_r[:], d2_r[:]], m_r[:],
+                epk, mm_e,
+            )
+            for k in range(3):
+                orefs[k][:] = f["pooled"][k]
+            orefs[3][:] = f["hatt"]
+
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=grid,
+            in_specs=[
+                _row_spec((NR, K, R), BN),
+                _row_spec((NR, K, H), BN),
+            ]
+            + [_row_spec((NR, K, 1), BN)] * 4
+            + [_const_spec(a) for a in leaves],
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((NR, C), jnp.float32)] * 3
+                + [jax.ShapeDtypeStruct((NR, HK), jnp.float32)]
+            ),
+            out_specs=tuple(
+                [_row_spec((NR, C), BN)] * 3 + [_row_spec((NR, HK), BN)]
+            ),
+            compiler_params=_compiler_params(
+                n_grid_dims=1, vmem_limit=vmem_limit
+            ),
+            interpret=interpret,
+        )(pre, oji, d00, d01, d02, m, *leaves)
+
+    def _call_bwd(pre, oji, d00, d01, d02, m, leaves, g):
+        NR, K, R = pre.shape
+        H = oji.shape[-1]
+        gp0, gp1, gp2, ghatt = g
+        ep = dict(zip(names, leaves))
+        HK = ep["e_rep"].shape[-1]
+        C = ep["w_xmix"].shape[-1]
+        grid = (NR // BN,)
+
+        def bwd_kernel(pre_r, oji_r, d0_r, d1_r, d2_r, m_r, g0_r, g1_r,
+                       g2_r, gh_r, *refs):
+            lrefs, orefs = refs[: len(names)], refs[len(names):]
+            epk = {n: lr[:] for n, lr in zip(names, lrefs)}
+            pre_v, oji_v, m_v = pre_r[:], oji_r[:], m_r[:]
+            d0_v = [d0_r[:], d1_r[:], d2_r[:]]
+            f = _edge_chain(pre_v, oji_v, d0_v, m_v, epk, mm_e)
+            d_pre, d_oji, d_d0 = _edge_pullback(
+                pre_v, oji_v, d0_v, m_v, epk, mm_e, f,
+                [g0_r[:], g1_r[:], g2_r[:]], gh_r[:],
+            )
+            orefs[0][:] = d_pre
+            orefs[1][:] = d_oji
+            for k in range(3):
+                orefs[2 + k][:] = d_d0[k]
+
+        return pl.pallas_call(
+            bwd_kernel,
+            grid=grid,
+            in_specs=[
+                _row_spec((NR, K, R), BN),
+                _row_spec((NR, K, H), BN),
+            ]
+            + [_row_spec((NR, K, 1), BN)] * 4
+            + [_row_spec((NR, C), BN)] * 3
+            + [_row_spec((NR, HK), BN)]
+            + [_const_spec(a) for a in leaves],
+            out_shape=tuple(
+                [
+                    jax.ShapeDtypeStruct((NR, K, R), jnp.float32),
+                    jax.ShapeDtypeStruct((NR, K, H), jnp.float32),
+                ]
+                + [jax.ShapeDtypeStruct((NR, K, 1), jnp.float32)] * 3
+            ),
+            out_specs=tuple(
+                [_row_spec((NR, K, R), BN), _row_spec((NR, K, H), BN)]
+                + [_row_spec((NR, K, 1), BN)] * 3
+            ),
+            compiler_params=_compiler_params(
+                n_grid_dims=1, vmem_limit=vmem_limit
+            ),
+            interpret=interpret,
+        )(pre, oji, d00, d01, d02, m, gp0, gp1, gp2, ghatt, *leaves)
+
+    @jax.custom_vjp
+    def edge_op(pre, oji, d00, d01, d02, m, *leaves):
+        return _call_fwd(pre, oji, d00, d01, d02, m, *leaves)
+
+    def edge_fwd(pre, oji, d00, d01, d02, m, *leaves):
+        out = _call_fwd(pre, oji, d00, d01, d02, m, *leaves)
+        return out, (pre, oji, d00, d01, d02, m, leaves)
+
+    def edge_bwd(saved, g):
+        pre, oji, d00, d01, d02, m, leaves = saved
+        d_pre, d_oji, d_d00, d_d01, d_d02 = _call_bwd(
+            pre, oji, d00, d01, d02, m, leaves, g
+        )
+        zeros = tuple(jnp.zeros_like(a) for a in leaves)
+        return (d_pre, d_oji, d_d00, d_d01, d_d02, jnp.zeros_like(m)) + zeros
+
+    edge_op.defvjp(edge_fwd, edge_bwd)
+    return edge_op
+
+
+def _gather_rows(a: jax.Array, idx: jax.Array):
+    """a (B, N, D), idx (B, N, K) -> (B, N, K, D) (same as sparse._gather)."""
+    B, N, K = idx.shape
+    flat = jnp.take_along_axis(a, idx.reshape(B, N * K, 1), axis=1)
+    return flat.reshape(B, N, K, a.shape[-1])
+
+
+def sparse_kernel_model_forward(
+    params: ModelParams,
+    h: jax.Array,  # (B, N, F_in)
+    x: jax.Array,  # (B, N, 3)
+    idx: jax.Array,  # (B, N, K)
+    nbr_mask: jax.Array,  # (B, N, K)
+    v: Optional[jax.Array] = None,
+    *,
+    n_heads: int = 4,
+    update: Sequence[bool] | bool = True,
+    block_rows: int = 32,
+    edge_matmul_dtype=None,
+    edge_precision=None,
+    matmul_dtype=None,
+    box=None,
+    interpret: bool = False,
+    vmem_limit: int | None = None,
+):
+    """Full sparse model with the edge chain on Pallas kernels.
+
+    Same contract as ``sparse.sparse_model_forward`` (returns
+    ``(out (B, N, F_out), x_out, v_out)``); gradients flow to ``x``/``h``
+    only (see module docstring). ``block_rows`` receiver rows per grid
+    step (BN·K edge sublanes in VMEM at a time).
+    """
+    from sake_tpu.kernels.functional import _embed, _make_mm, _readout
+
+    B, N, F_in = h.shape
+    K = idx.shape[-1]
+    depth = len(params.layers)
+    updates = [update] * depth if isinstance(update, bool) else list(update)
+    upd_flags = jnp.asarray(updates, jnp.float32)
+    NR = B * N
+    BN = block_rows
+    while BN > 1 and NR % BN:
+        BN //= 2
+
+    mm = _make_mm(matmul_dtype)
+    leaves = wide_stack(params, n_heads)  # depth-stacked, _LEAF_NAMES order
+    H = params.layers[0].edge.w_out0.shape[-1]
+    e_rep, e_tile = head_expansion_matrices(H, n_heads)
+    edge_op = _make_edge_op(
+        BN, edge_matmul_dtype, edge_precision, interpret, vmem_limit
+    )
+
+    hc = _embed(params, h, mm)
+    F = hc.shape[-1]
+    m3 = nbr_mask[..., None]  # (B, N, K, 1)
+    m_flat = m3.reshape(NR, K, 1)
+    count = m3.sum(axis=-2)  # (B, N, 1)
+    if box is not None:
+        bx = jnp.asarray(box, jnp.float32)
+
+    def layer(carry, lw):
+        hc, xc, vc = carry
+        lp, upd = lw
+        h2d = hc.reshape(NR, F)
+
+        # node-factorized projections (XLA: tiny O(N·ch) matmuls)
+        a_j = mm(h2d, lp["w_in_j"]).reshape(B, N, -1)
+        a_i = mm(h2d, lp["w_in_i"]) + lp["b_in"]
+        o_j = mm(h2d, lp["w_o_j"]).reshape(B, N, -1)
+        o_i = mm(h2d, lp["w_o_i"]) + lp["b_o0"]
+
+        pre = (
+            _gather_rows(a_j, idx)
+            + a_i.reshape(B, N, 1, -1)
+        ).reshape(NR, K, -1)
+        oji = (
+            _gather_rows(o_j, idx)
+            + o_i.reshape(B, N, 1, -1)
+        ).reshape(NR, K, -1)
+
+        xg = _gather_rows(xc, idx)  # (B, N, K, 3)
+        d0 = xg - xc[:, :, None, :]
+        if box is not None:
+            d0 = d0 - bx * jnp.round(d0 / bx)
+        d0p = [d0[..., k].reshape(NR, K, 1) for k in range(3)]
+
+        ep_leaves = tuple(lp[n] for n in _EDGE_LEAVES) + (e_rep, e_tile)
+        p0, p1, p2, hatt = edge_op(pre, oji, *d0p, m_flat, *ep_leaves)
+        pooled = [pk.reshape(B, N, -1) for pk in (p0, p1, p2)]
+        C = pooled[0].shape[-1]
+
+        # node update (XLA)
+        norm = [pk / (count + 1e-8) for pk in pooled]
+        pool_sq = (norm[0] ** 2 + norm[1] ** 2 + norm[2] ** 2).reshape(
+            NR, C
+        )
+        h_comb = _silu(
+            mm(_silu(mm(pool_sq, lp["w_post0"]) + lp["b_post0"]),
+               lp["w_post1"]) + lp["b_post1"]
+        )
+        node_pre = (
+            mm(h2d, lp["w_node_h"])
+            + mm(hatt, lp["w_node_agg"])
+            + mm(h_comb, lp["w_node_comb"])
+            + lp["b_node0"]
+        )
+        uv = mm(_silu(node_pre), lp["w_node1"]) + lp["b_node1"]
+        h_out = hc + _silu(uv).reshape(B, N, F)
+
+        # position/velocity update, gated by the layer's update flag
+        delta = jnp.concatenate(
+            [
+                mm(pk.reshape(NR, C), lp["w_vmix"]).reshape(B, N, 1)
+                for pk in pooled
+            ],
+            axis=-1,
+        ) / (count + 1e-10)
+        g0 = mm(h_out.reshape(NR, F), lp["w_vel0"]) + lp["b_vel0"]
+        gate = 2.0 * jax.nn.sigmoid(
+            mm(_silu(g0), lp["w_vel1"])
+        ).reshape(B, N, 1)
+        v_new = gate * vc + delta
+        x_new = xc + v_new
+        x_out = xc + upd * (x_new - xc)
+        v_out = vc + upd * (v_new - vc)
+        return (h_out, x_out, v_out), None
+
+    lw = (dict(zip(_LEAF_NAMES, leaves)), upd_flags)
+    v0 = v if v is not None else jnp.zeros_like(x)
+    (hc, x_out, v_out), _ = jax.lax.scan(layer, (hc, x, v0), lw)
+    out = _readout(params, hc, mm)
+    return out, x_out, (v_out if (v is not None or any(updates)) else None)
+
+
+def make_sparse_kernel_energy_forces(
+    h: jax.Array,  # (B, N, F_in)
+    *,
+    n_heads: int = 4,
+    update: Sequence[bool] | bool = True,
+    block_rows: int = 32,
+    edge_matmul_dtype=jnp.bfloat16,
+    matmul_dtype=None,
+    node_mask: Optional[jax.Array] = None,  # (B, N)
+    box=None,
+    interpret: bool = False,
+    vmem_limit: int | None = None,
+):
+    """``(params, x, idx, nbr_mask) -> (e (B,), f (B, N, 3))`` on the
+    kernel-fused sparse model — drop-in for
+    ``sparse.make_sparse_energy_forces`` (the force field of
+    ``md.neighborlist_verlet_rollout``), at kernel speed. Forces are
+    exact for the bf16-edge tier (same tier as the dense champions);
+    pass ``edge_matmul_dtype=None`` for the f32 tier."""
+    nm = None if node_mask is None else node_mask[..., None]
+
+    def energy_forces(p: ModelParams, x, idx, nbr_mask):
+        def e_sum(x_):
+            out, _, _ = sparse_kernel_model_forward(
+                p, h, x_, idx, nbr_mask,
+                n_heads=n_heads, update=update, block_rows=block_rows,
+                edge_matmul_dtype=edge_matmul_dtype,
+                matmul_dtype=matmul_dtype, box=box, interpret=interpret,
+                vmem_limit=vmem_limit,
+            )
+            if nm is not None:
+                out = out * nm
+            e_b = out.sum(axis=(-2, -1))
+            return e_b.sum(), e_b
+
+        (_, e_b), neg_f = jax.value_and_grad(e_sum, has_aux=True)(x)
+        return e_b, -neg_f
+
+    return energy_forces

@@ -410,3 +410,65 @@ def test_rollout_overflow_surface_and_cell_capacity_guard(setup):
             ef, kp, x, v0, masses, 1e-3, 4,
             cutoff=2.5, max_neighbors=8, cell_capacity=16,
         )
+
+
+def test_sparse_kernel_matches_lax_sparse(setup):
+    """Gen-1 sparse edge kernel (kernels/sparse_ef.py, interpret mode):
+    full-model forward, E+F, and update schedules must match the lax
+    sparse path exactly (which itself equals the masked dense oracle)."""
+    from sake_tpu.kernels.sparse_ef import (
+        make_sparse_kernel_energy_forces,
+        sparse_kernel_model_forward,
+    )
+    from sake_tpu.sparse import make_sparse_energy_forces
+
+    kp, h, x = setup
+    idx, m = neighbor_list(x, 2.5, 16)
+    KTOL = dict(rtol=2e-4, atol=2e-5)
+
+    out_l, x_l, _ = sparse_model_forward(kp, h, x, idx, m)
+    out_k, x_k, _ = sparse_kernel_model_forward(
+        kp, h, x, idx, m, block_rows=8, interpret=True
+    )
+    np.testing.assert_allclose(out_k, out_l, **KTOL)
+    np.testing.assert_allclose(x_k, jnp.asarray(x_l), **KTOL)
+
+    e_l, f_l = make_sparse_energy_forces(h)(kp, x, idx, m)
+    e_k, f_k = make_sparse_kernel_energy_forces(
+        h, block_rows=8, edge_matmul_dtype=None, interpret=True
+    )(kp, x, idx, m)
+    np.testing.assert_allclose(e_k, e_l, **KTOL)
+    np.testing.assert_allclose(f_k, f_l, rtol=5e-4, atol=5e-5)
+
+    # MD configuration (update=False) and a mixed schedule
+    for upd in (False, [True, False]):
+        o_l, _, _ = sparse_model_forward(kp, h, x, idx, m, update=upd)
+        o_k, _, _ = sparse_kernel_model_forward(
+            kp, h, x, idx, m, update=upd, block_rows=8, interpret=True
+        )
+        np.testing.assert_allclose(o_k, o_l, **KTOL)
+
+
+def test_sparse_kernel_node_mask_and_pbc(setup):
+    """Padded receivers (node_mask) and periodic boxes run through the
+    kernel path with the same semantics as the lax sparse path."""
+    from sake_tpu.kernels.sparse_ef import make_sparse_kernel_energy_forces
+    from sake_tpu.sparse import make_sparse_energy_forces
+
+    kp, h, x = setup
+    B, N = x.shape[:2]
+    rng = np.random.RandomState(3)
+    node_mask = jnp.asarray(rng.rand(B, N) > 0.25, jnp.float32)
+    box = (6.0, 6.0, 6.0)
+    xb = x % jnp.asarray(box)
+    idx, m = neighbor_list(xb, 2.5, 16, node_mask=node_mask, box=box)
+
+    e_l, f_l = make_sparse_energy_forces(
+        h, node_mask=node_mask, box=box
+    )(kp, xb, idx, m)
+    e_k, f_k = make_sparse_kernel_energy_forces(
+        h, node_mask=node_mask, box=box, block_rows=8,
+        edge_matmul_dtype=None, interpret=True,
+    )(kp, xb, idx, m)
+    np.testing.assert_allclose(e_k, e_l, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(f_k, f_l, rtol=5e-4, atol=5e-5)
