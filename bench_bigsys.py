@@ -111,6 +111,22 @@ def main():
 
         return ef
 
+    def make_sparse_kernel_ef(h_):
+        # Pallas edge-kernel path (kernels/sparse_ef.py): the same O(N*K)
+        # work with the per-layer edge chain fused into kernels
+        from sake_tpu.kernels.sparse_ef import (
+            make_sparse_kernel_energy_forces,
+        )
+
+        raw = make_sparse_kernel_energy_forces(h_, update=True)
+
+        @jax.jit
+        def ef(x_, idx, m):
+            e_b, f = raw(kp, x_, idx, m)
+            return e_b.sum(), f
+
+        return ef
+
     # ---- verification gate at the smallest size --------------------------
     n0 = sizes[0]
     x0, h0, _ = inputs(n0)
@@ -144,8 +160,17 @@ def main():
         jnp.abs(out_s - out_m).max() / (jnp.abs(out_m).max() + 1e-9)
     )
     sf_err = float(jnp.abs(f_s - f_m).max() / (jnp.abs(f_m).max() + 1e-9))
+    # kernel-path gate: forces vs the lax sparse path on the same graph
+    # (Mosaic default-f32 matmul tier, measured ~7e-3 — see PERF.md)
+    (_, f_sk) = jax.block_until_ready(
+        make_sparse_kernel_ef(h0)(x0, idx0, m0)
+    )
+    skf_err = float(
+        jnp.abs(f_sk - f_s).max() / (jnp.abs(f_s).max() + 1e-9)
+    )
     verified = (
         e_err < 5e-3 and f_err < 5e-3 and se_err < 1e-2 and sf_err < 5e-3
+        and skf_err < 2e-2
     )
     if not verified:
         print(json.dumps({
@@ -153,7 +178,8 @@ def main():
             "value": 0.0, "unit": "atom-evals/s",
             "vs_baseline": 0.0, "error":
                 f"verification FAILED at N={n0}: e_err {e_err:.2e} "
-                f"f_err {f_err:.2e} sparse e {se_err:.2e} f {sf_err:.2e}",
+                f"f_err {f_err:.2e} sparse e {se_err:.2e} f {sf_err:.2e} "
+                f"kernel f {skf_err:.2e}",
         }))
         sys.exit(1)
 
@@ -161,6 +187,7 @@ def main():
     table = {}
     best_blocked = None
     best_sparse = None
+    best_impl = "sparse"
     dense_limit = None
     sparse_ef = make_sparse_ef()
     for n in sizes:
@@ -173,8 +200,20 @@ def main():
             row["sparse_nlist"] = round(nl_sec * 1e3, 2)
             row["sparse_mean_nbrs"] = round(float(m_n.sum()) / n, 1)
             best_sparse = (n, sec)
+            best_impl = "sparse(lax)"
         except Exception as ex:  # noqa: BLE001 — OOM/compile failures
             row["sparse"] = "failed: " + str(ex).split("\n")[0][:140]
+        try:
+            ksec, _ = _time_evals(
+                make_sparse_kernel_ef(h), x, idx_n, m_n, reps=3
+            )
+            row["sparse_kernel"] = round(ksec * 1e3, 2)
+            if best_sparse is None or ksec < best_sparse[1] \
+                    or best_sparse[0] < n:
+                best_sparse = (n, ksec)
+                best_impl = "sparse(kernel)"
+        except Exception as ex:  # noqa: BLE001 — OOM/compile failures
+            row["sparse_kernel"] = "failed: " + str(ex).split("\n")[0][:140]
         try:
             # O(N·27·cap) grid-binned build vs the O(N²) all-pairs pass,
             # both under the same periodic box; neighbor SETS must match
@@ -261,12 +300,13 @@ def main():
         "metric": "bigsys_ef_atoms_per_s",
         "value": round(atoms_per_s, 1),
         "unit": f"atom-evals/s at N={n_big} (fused E+F, single chip, "
-                f"{'sparse' if best_sparse else 'blocked'})",
+                f"{best_impl if best_sparse else 'blocked'})",
         "vs_baseline": 0.0,
         "verified": {"N": n0, "e_rel_err": round(e_err, 8),
                      "f_rel_err": round(f_err, 8),
                      "sparse_e_rel_err": round(se_err, 8),
-                     "sparse_f_rel_err": round(sf_err, 8)},
+                     "sparse_f_rel_err": round(sf_err, 8),
+                     "sparse_kernel_f_rel_err": round(skf_err, 8)},
         "ms_per_eval": table,
         "block_size": block,
         "cutoff": cutoff,

@@ -73,6 +73,17 @@ if _ABLATE:  # pragma: no cover
         flush=True,
     )
 _tanh = (lambda x: x * 0.5) if "notanh" in _ABLATE else jnp.tanh
+# Block-level ablations (round-4: the "fewer, wider intermediates"
+# hypothesis needs per-BLOCK time shares, not per-op-class): each one
+# deletes a whole chain of the layer body, so the fwd-only timing delta
+# IS that block's cost. noatt = semantic attention (sem matmul, celu,
+# softmax, renorm; the (E, 4)-lane narrow ops), nopool = spatial
+# coefficient + pooled chains (tanh, u_k, 3 multiply+reduce), nogeom =
+# the (E, 1) geometry planes (d0, r, sqrt), nofilt = the rbf filter.
+_AB_NOATT = "noatt" in _ABLATE
+_AB_NOPOOL = "nopool" in _ABLATE
+_AB_NOGEOM = "nogeom" in _ABLATE
+_AB_NOFILT = "nofilt" in _ABLATE
 if "nosilu" in _ABLATE:  # shadows the imported _silu (timing-only)
     _silu = lambda x: x * 0.5  # noqa: F811
 
@@ -148,15 +159,23 @@ def layer_fwd_resid(p, h, xp, vp, upd, *, e_rep, e_tile, mm, mm_edge=None,
     h2d = h.reshape(BT * N, F)
 
     d0 = [pk[:, None, :, :] - pk[:, :, None, :] for pk in xp]
-    r = jnp.sqrt(
-        jax.nn.relu(d0[0] * d0[0] + d0[1] * d0[1] + d0[2] * d0[2]) + EPSILON
-    )
+    if _AB_NOGEOM:  # pragma: no cover — timing-only
+        r = d0[0] * 0.25 + 0.5
+    else:
+        r = jnp.sqrt(
+            jax.nn.relu(
+                d0[0] * d0[0] + d0[1] * d0[1] + d0[2] * d0[2]
+            ) + EPSILON
+        )
 
     a_j = (mm(h2d, p["w_in_j"]) + p["b_in"]).reshape(BT, N, R)
     a_i = mm(h2d, p["w_in_i"]).reshape(BT, N, R)
     pre = a_j[:, None, :, :] + a_i[:, :, None, :]
     t = _exp(-r)
-    rbf = _exp(-p["rbf_b"] * (t - p["rbf_m"]) ** 2)
+    if _AB_NOFILT:  # pragma: no cover — timing-only
+        rbf = t * p["rbf_b"]
+    else:
+        rbf = _exp(-p["rbf_b"] * (t - p["rbf_m"]) ** 2)
     filtered = rbf * pre
     o_j = mm(h2d, p["w_o_j"]).reshape(BT, N, H)
     o_i = mm(h2d, p["w_o_i"]).reshape(BT, N, H)
@@ -169,39 +188,50 @@ def layer_fwd_resid(p, h, xp, vp, upd, *, e_rep, e_tile, mm, mm_edge=None,
     ) + p["b_o1"]
 
     K = p["w_sem"].shape[-1]
-    sem_pre = mm_edge(h_e.reshape(BT * N * N, H), p["w_sem"]).reshape(
-        BT, N, N, K
-    ) + p["b_sem"]
-    logits = jnp.where(
-        sem_pre > 0, sem_pre, 2.0 * (jnp.exp(sem_pre / 2.0) - 1.0)
-    )
-    logits = logits - INF * jnp.eye(N, dtype=logits.dtype)[None, :, :, None]
-    if mask is not None:
-        logits = logits - INF * (1.0 - mask)
-    elif n_real is not None and n_real < N:
-        pad_sender = (
-            jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) >= n_real
-        ).astype(logits.dtype)
-        logits = logits - INF * pad_sender[None, None, :, :]
-    att = jax.nn.softmax(logits, axis=-2)  # raw softmax: the saved residual
-    if mask is not None:
-        att_s = att * mask
-        denom = att_s.sum(axis=-2, keepdims=True)
-        att2 = att_s / jnp.where(denom == 0.0, 1.0, denom)
+    if _AB_NOATT:  # pragma: no cover — timing-only: whole attention block
+        sem_pre = h_e[..., :K] * 1.0
+        att = att2 = sem_pre * (1.0 / n_eff)
     else:
-        att2 = att
+        sem_pre = mm_edge(h_e.reshape(BT * N * N, H), p["w_sem"]).reshape(
+            BT, N, N, K
+        ) + p["b_sem"]
+        logits = jnp.where(
+            sem_pre > 0, sem_pre, 2.0 * (jnp.exp(sem_pre / 2.0) - 1.0)
+        )
+        logits = logits - INF * jnp.eye(N, dtype=logits.dtype)[None, :, :, None]
+        if mask is not None:
+            logits = logits - INF * (1.0 - mask)
+        elif n_real is not None and n_real < N:
+            pad_sender = (
+                jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) >= n_real
+            ).astype(logits.dtype)
+            logits = logits - INF * pad_sender[None, None, :, :]
+        att = jax.nn.softmax(logits, axis=-2)  # raw softmax: saved residual
+        if mask is not None:
+            att_s = att * mask
+            denom = att_s.sum(axis=-2, keepdims=True)
+            att2 = att_s / jnp.where(denom == 0.0, 1.0, denom)
+        else:
+            att2 = att
 
     h_e_att = mm_edge(h_e.reshape(BT * N * N, H), e_rep) * mm_edge(
         att2.reshape(BT * N * N, K), e_tile
     )
     HK = h_e_att.shape[-1]
     C = p["w_xmix"].shape[-1]
-    coeff = _tanh(mm_edge(h_e_att, p["w_xmix"]).reshape(BT, N, N, C))
-    if mask is not None:
-        coeff = coeff * mask
+    if _AB_NOPOOL:  # pragma: no cover — timing-only: coeff+pooled chains
+        coeff = h_e_att.reshape(BT, N, N, HK)[..., :C] * 1.0
+        inv_r = r
+        pooled = [coeff.sum(axis=-2)] * 3
+    else:
+        coeff = _tanh(mm_edge(h_e_att, p["w_xmix"]).reshape(BT, N, N, C))
+        if mask is not None:
+            coeff = coeff * mask
 
-    inv_r = 1.0 / (r + 1e-5)
-    if spat is not None:
+        inv_r = 1.0 / (r + 1e-5)
+    if _AB_NOPOOL:
+        pass
+    elif spat is not None:
         # MXU-pooled: pooled_k[b,i,:] = sum_j coeff[b,i,j,:] * u_k[b,i,j]
         # as ONE batched matmul U3T^T @ coeff (row-contraction over the
         # N*N edge sublanes) via the eye-expanded U3T — replaces three

@@ -68,6 +68,11 @@ _REGISTRY: Dict[str, Callable] = {
     # large-system MD on the cutoff-sparse O(N*K) path (capability the
     # reference's broken SparseSAKELayer never delivered)
     "sparse_md": _lazy("sparse_md", "run", "SparseMDConfig"),
+    # same workload on the Pallas sparse edge kernels (2.4x the lax path
+    # on-chip; kernels/sparse_ef.py)
+    "sparse_md_kernel": _lazy(
+        "sparse_md", "run", "SparseMDConfig", use_kernel=True
+    ),
     # flows
     "dw4": _lazy("flows", "run_cnf", "CNFConfig"),
     "dw4_aug": _lazy("flows", "run_augmented", "AugmentedFlowConfig", system="dw4"),

@@ -57,6 +57,11 @@ class SparseMDConfig:
     dt: float = 1e-3
     n_steps: int = 100
     remat: bool = True
+    # Pallas edge-kernel force field (kernels/sparse_ef.py): ~2.4x the
+    # lax sparse path on-chip; lax remains the exact-tier fallback
+    use_kernel: bool = False
+    kernel_block_rows: int = 32
+    kernel_interpret: bool = False  # CI: run the kernels interpreted
     seed: int = 0
 
 
@@ -94,9 +99,23 @@ def run(cfg: SparseMDConfig, logger: Optional[MetricLogger] = None):
     kp = model_params_from_linen(params)
 
     masses = jnp.full((cfg.n_atoms,), cfg.mass, jnp.float32)
-    ef = make_sparse_energy_forces(
-        h, n_heads=cfg.n_heads, update=False, remat=cfg.remat, box=box
-    )
+    if cfg.use_kernel:
+        from sake_tpu.kernels.sparse_ef import (
+            make_sparse_kernel_energy_forces,
+        )
+
+        ef = make_sparse_kernel_energy_forces(
+            h, n_heads=cfg.n_heads, update=False, box=box,
+            block_rows=cfg.kernel_block_rows,
+            edge_matmul_dtype=(
+                None if cfg.kernel_interpret else jnp.bfloat16
+            ),
+            interpret=cfg.kernel_interpret,
+        )
+    else:
+        ef = make_sparse_energy_forces(
+            h, n_heads=cfg.n_heads, update=False, remat=cfg.remat, box=box
+        )
 
     @jax.jit
     def rollout(p, x_, v_):

@@ -108,6 +108,10 @@ TINY = {
     "sparse_md": dict(hidden_features=8, depth=2, n_atoms=64, n_steps=8,
                       rebuild_every=4, cutoff=4.0, max_neighbors=16,
                       periodic=True),
+    "sparse_md_kernel": dict(hidden_features=8, depth=2, n_atoms=64,
+                             n_steps=4, rebuild_every=4, cutoff=4.0,
+                             max_neighbors=16, periodic=True,
+                             kernel_block_rows=16, kernel_interpret=True),
 }
 
 
