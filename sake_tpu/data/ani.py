@@ -103,3 +103,34 @@ def to_bucket_samples(samples: List[Dict[str, np.ndarray]]):
             }
         )
     return out
+
+
+def smiles_inventory(paths: List[str], out_path: str = None):
+    """Dataset SMILES inventory: list every molecule's SMILES string in a
+    set of ANI HDF5 shards, optionally writing a JSON list.
+
+    Parity for the reference's dataset-inventory utility
+    (``scripts/ani/smiles.py:19-30``), minus its bugs (it json-dumps to a
+    ``.pkl`` name and its ``get_data`` returns ``None`` that then gets
+    ``np.save``-d). Molecule groups that carry no ``smiles`` field (e.g.
+    the fixture shards CI writes) are inventoried by group name instead.
+    """
+    import json
+
+    import h5py  # optional dependency, baked in this image
+
+    smiles: List[str] = []
+    for path in paths:
+        with h5py.File(path, "r") as f:
+            for grp in f.values():
+                for name, mol in grp.items():
+                    if "smiles" in mol:
+                        smiles.append(
+                            "".join(np.asarray(mol["smiles"]).astype(str))
+                        )
+                    else:
+                        smiles.append(name)
+    if out_path is not None:
+        with open(out_path, "w") as fo:
+            json.dump(smiles, fo)
+    return smiles

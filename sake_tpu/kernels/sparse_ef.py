@@ -63,9 +63,14 @@ def _dsilu(x):
     return s * (1.0 + x * (1.0 - s))
 
 
-# leaves the edge kernel consumes (in _LEAF_NAMES order, filtered)
+# leaves the edge kernel consumes (in _LEAF_NAMES order, filtered).
+# w_in_j / w_o_j are applied to the GATHERED h inside the kernel: h is
+# gathered once per layer ((E, F) traffic) instead of gathering the two
+# projected arrays ((E, R) + (E, H)) — measured on-chip, the XLA
+# gather/scatter glue was the wall (37 ms of a 50 ms fwd at N=4096), and
+# the j-side projections are ~free MXU work in-kernel.
 _EDGE_LEAVES = (
-    "rbf_m", "rbf_b", "w_o_f", "w_o_r", "w_o1", "b_o1",
+    "w_in_j", "w_o_j", "rbf_m", "rbf_b", "w_o_f", "w_o_r", "w_o1", "b_o1",
     "w_sem", "b_sem", "w_xmix",
 )
 
@@ -85,13 +90,21 @@ def _const_spec(a):
     )
 
 
-def _edge_chain(pre, oji, d0, m, ep, mm_e):
+def _edge_chain(h_g, a_i, o_i, d0, m, ep, mm_e):
     """The per-edge forward chain on one (BN, K, ·) receiver block.
     Returns the pooled outputs and every intermediate the pullback needs.
-    Must match ``sparse.sparse_layer_forward``'s edge scope exactly."""
-    BN, K, R = pre.shape
-    H = oji.shape[-1]
+    Must match ``sparse.sparse_layer_forward``'s edge scope exactly.
+
+    ``h_g (BN, K, F)`` gathered sender features; ``a_i (BN, R)`` /
+    ``o_i (BN, H)`` receiver-side projections (biases folded in)."""
+    BN, K, F = h_g.shape
+    R = a_i.shape[-1]
+    H = o_i.shape[-1]
     E2 = BN * K
+
+    h_g2 = h_g.reshape(E2, F)
+    pre = mm_e(h_g2, ep["w_in_j"]).reshape(BN, K, R) + a_i[:, None, :]
+    oji = mm_e(h_g2, ep["w_o_j"]).reshape(BN, K, H) + o_i[:, None, :]
 
     r = jnp.sqrt(
         jax.nn.relu(d0[0] * d0[0] + d0[1] * d0[1] + d0[2] * d0[2]) + EPSILON
@@ -134,6 +147,7 @@ def _edge_chain(pre, oji, d0, m, ep, mm_e):
     pooled = [(coeff * u[k]).sum(axis=-2) for k in range(3)]  # (BN, C)
     hatt = he_att.reshape(BN, K, HK).sum(axis=-2)  # (BN, HK)
     return dict(
+        pre=pre, oji=oji,
         r=r, t=t, rbf=rbf, e0=e0, h_e=h_e, sem_pre=sem_pre, att=att,
         att_s=att_s, denom=denom, dg=dg, att2=att2, heE=heE, attE=attE,
         he_att=he_att, tanh_v=tanh_v, coeff=coeff, inv_r=inv_r, u=u,
@@ -141,11 +155,13 @@ def _edge_chain(pre, oji, d0, m, ep, mm_e):
     )
 
 
-def _edge_pullback(pre, oji, d0, m, ep, mm_e, f, g_pooled, g_hatt):
-    """Hand-written pullback of ``_edge_chain`` w.r.t. (pre, oji, d0):
-    the ``layer_bwd_resid`` recipe restricted to the edge scope, driven
-    by recomputed intermediates ``f``."""
-    BN, K, R = pre.shape
+def _edge_pullback(h_g, d0, m, ep, mm_e, f, g_pooled, g_hatt):
+    """Hand-written pullback of ``_edge_chain`` w.r.t.
+    (h_g, a_i, o_i, d0): the ``layer_bwd_resid`` recipe restricted to
+    the edge scope, driven by recomputed intermediates ``f``."""
+    BN, K, F = h_g.shape
+    pre, oji = f["pre"], f["oji"]
+    R = pre.shape[-1]
     H = oji.shape[-1]
     E2 = BN * K
     Kh = ep["w_sem"].shape[-1]
@@ -226,7 +242,15 @@ def _edge_pullback(pre, oji, d0, m, ep, mm_e, f, g_pooled, g_hatt):
     d_s = d_r * (0.5 / r) * pos
     for k in range(3):
         d_d0[k] = d_d0[k] + 2.0 * d0[k] * d_s
-    return d_pre, d_oji, d_d0
+
+    # pre = h_g@w_in_j + a_i ; oji = h_g@w_o_j + o_i
+    d_a_i = d_pre.sum(axis=-2)  # (BN, R)
+    d_o_i = d_oji.sum(axis=-2)  # (BN, H)
+    d_h_g = (
+        mm_e(d_pre.reshape(E2, R), ep["w_in_j"].T)
+        + mm_e(d_oji.reshape(E2, H), ep["w_o_j"].T)
+    ).reshape(BN, K, F)
+    return d_h_g, d_a_i, d_o_i, d_d0
 
 
 def _make_edge_op(
@@ -235,30 +259,34 @@ def _make_edge_op(
     edge_precision=None,
     interpret: bool = False,
     vmem_limit: int | None = None,
+    grad_dtype=None,
 ):
     """Build the custom-vjp edge op for a given receiver-block size.
 
-    Signature: ``op(pre (NR,K,R), oji (NR,K,H), d00, d01, d02 (NR,K,1),
-    m (NR,K,1), *edge_leaves) -> (p0, p1, p2 (NR,C), hatt (NR,HK))``.
-    Edge-leaf cotangents are ZERO (see the module docstring).
+    Signature: ``op(h_g (NR,K,F), a_i (NR,R), o_i (NR,H), d00, d01, d02
+    (NR,K,1), m (NR,K,1), *edge_leaves) -> (p0, p1, p2 (NR,C),
+    hatt (NR,HK))``. Edge-leaf cotangents are ZERO (see the module
+    docstring). ``grad_dtype`` optionally stores the big ``d_h_g``
+    cotangent (the scatter-add operand) at a lower dtype.
     """
     mm_e = _make_mm_prec(edge_matmul_dtype, edge_precision)
     names = _EDGE_LEAVES + ("e_rep", "e_tile")
 
-    def _call_fwd(pre, oji, d00, d01, d02, m, *leaves):
-        NR, K, R = pre.shape
-        H = oji.shape[-1]
+    def _call_fwd(h_g, a_i, o_i, d00, d01, d02, m, *leaves):
+        NR, K, F = h_g.shape
+        R = a_i.shape[-1]
+        H = o_i.shape[-1]
         ep = dict(zip(names, leaves))
         HK = ep["e_rep"].shape[-1]
         C = ep["w_xmix"].shape[-1]
         grid = (NR // BN,)
 
-        def fwd_kernel(pre_r, oji_r, d0_r, d1_r, d2_r, m_r, *refs):
+        def fwd_kernel(hg_r, ai_r, oi_r, d0_r, d1_r, d2_r, m_r, *refs):
             lrefs, orefs = refs[: len(names)], refs[len(names):]
             epk = {n: lr[:] for n, lr in zip(names, lrefs)}
             f = _edge_chain(
-                pre_r[:], oji_r[:], [d0_r[:], d1_r[:], d2_r[:]], m_r[:],
-                epk, mm_e,
+                hg_r[:].astype(jnp.float32), ai_r[:], oi_r[:],
+                [d0_r[:], d1_r[:], d2_r[:]], m_r[:], epk, mm_e,
             )
             for k in range(3):
                 orefs[k][:] = f["pooled"][k]
@@ -268,8 +296,9 @@ def _make_edge_op(
             fwd_kernel,
             grid=grid,
             in_specs=[
-                _row_spec((NR, K, R), BN),
-                _row_spec((NR, K, H), BN),
+                _row_spec((NR, K, F), BN),
+                _row_spec((NR, R), BN),
+                _row_spec((NR, H), BN),
             ]
             + [_row_spec((NR, K, 1), BN)] * 4
             + [_const_spec(a) for a in leaves],
@@ -284,39 +313,44 @@ def _make_edge_op(
                 n_grid_dims=1, vmem_limit=vmem_limit
             ),
             interpret=interpret,
-        )(pre, oji, d00, d01, d02, m, *leaves)
+        )(h_g, a_i, o_i, d00, d01, d02, m, *leaves)
 
-    def _call_bwd(pre, oji, d00, d01, d02, m, leaves, g):
-        NR, K, R = pre.shape
-        H = oji.shape[-1]
+    def _call_bwd(h_g, a_i, o_i, d00, d01, d02, m, leaves, g):
+        NR, K, F = h_g.shape
+        R = a_i.shape[-1]
+        H = o_i.shape[-1]
         gp0, gp1, gp2, ghatt = g
         ep = dict(zip(names, leaves))
         HK = ep["e_rep"].shape[-1]
         C = ep["w_xmix"].shape[-1]
+        gdt = grad_dtype or jnp.float32
         grid = (NR // BN,)
 
-        def bwd_kernel(pre_r, oji_r, d0_r, d1_r, d2_r, m_r, g0_r, g1_r,
-                       g2_r, gh_r, *refs):
+        def bwd_kernel(hg_r, ai_r, oi_r, d0_r, d1_r, d2_r, m_r, g0_r,
+                       g1_r, g2_r, gh_r, *refs):
             lrefs, orefs = refs[: len(names)], refs[len(names):]
             epk = {n: lr[:] for n, lr in zip(names, lrefs)}
-            pre_v, oji_v, m_v = pre_r[:], oji_r[:], m_r[:]
+            hg_v = hg_r[:].astype(jnp.float32)
+            m_v = m_r[:]
             d0_v = [d0_r[:], d1_r[:], d2_r[:]]
-            f = _edge_chain(pre_v, oji_v, d0_v, m_v, epk, mm_e)
-            d_pre, d_oji, d_d0 = _edge_pullback(
-                pre_v, oji_v, d0_v, m_v, epk, mm_e, f,
+            f = _edge_chain(hg_v, ai_r[:], oi_r[:], d0_v, m_v, epk, mm_e)
+            d_h_g, d_a_i, d_o_i, d_d0 = _edge_pullback(
+                hg_v, d0_v, m_v, epk, mm_e, f,
                 [g0_r[:], g1_r[:], g2_r[:]], gh_r[:],
             )
-            orefs[0][:] = d_pre
-            orefs[1][:] = d_oji
+            orefs[0][:] = d_h_g.astype(orefs[0].dtype)
+            orefs[1][:] = d_a_i
+            orefs[2][:] = d_o_i
             for k in range(3):
-                orefs[2 + k][:] = d_d0[k]
+                orefs[3 + k][:] = d_d0[k]
 
         return pl.pallas_call(
             bwd_kernel,
             grid=grid,
             in_specs=[
-                _row_spec((NR, K, R), BN),
-                _row_spec((NR, K, H), BN),
+                _row_spec((NR, K, F), BN),
+                _row_spec((NR, R), BN),
+                _row_spec((NR, H), BN),
             ]
             + [_row_spec((NR, K, 1), BN)] * 4
             + [_row_spec((NR, C), BN)] * 3
@@ -324,36 +358,44 @@ def _make_edge_op(
             + [_const_spec(a) for a in leaves],
             out_shape=tuple(
                 [
-                    jax.ShapeDtypeStruct((NR, K, R), jnp.float32),
-                    jax.ShapeDtypeStruct((NR, K, H), jnp.float32),
+                    jax.ShapeDtypeStruct((NR, K, F), gdt),
+                    jax.ShapeDtypeStruct((NR, R), jnp.float32),
+                    jax.ShapeDtypeStruct((NR, H), jnp.float32),
                 ]
                 + [jax.ShapeDtypeStruct((NR, K, 1), jnp.float32)] * 3
             ),
             out_specs=tuple(
-                [_row_spec((NR, K, R), BN), _row_spec((NR, K, H), BN)]
+                [
+                    _row_spec((NR, K, F), BN),
+                    _row_spec((NR, R), BN),
+                    _row_spec((NR, H), BN),
+                ]
                 + [_row_spec((NR, K, 1), BN)] * 3
             ),
             compiler_params=_compiler_params(
                 n_grid_dims=1, vmem_limit=vmem_limit
             ),
             interpret=interpret,
-        )(pre, oji, d00, d01, d02, m, gp0, gp1, gp2, ghatt, *leaves)
+        )(h_g, a_i, o_i, d00, d01, d02, m, gp0, gp1, gp2, ghatt, *leaves)
 
     @jax.custom_vjp
-    def edge_op(pre, oji, d00, d01, d02, m, *leaves):
-        return _call_fwd(pre, oji, d00, d01, d02, m, *leaves)
+    def edge_op(h_g, a_i, o_i, d00, d01, d02, m, *leaves):
+        return _call_fwd(h_g, a_i, o_i, d00, d01, d02, m, *leaves)
 
-    def edge_fwd(pre, oji, d00, d01, d02, m, *leaves):
-        out = _call_fwd(pre, oji, d00, d01, d02, m, *leaves)
-        return out, (pre, oji, d00, d01, d02, m, leaves)
+    def edge_fwd(h_g, a_i, o_i, d00, d01, d02, m, *leaves):
+        out = _call_fwd(h_g, a_i, o_i, d00, d01, d02, m, *leaves)
+        return out, (h_g, a_i, o_i, d00, d01, d02, m, leaves)
 
     def edge_bwd(saved, g):
-        pre, oji, d00, d01, d02, m, leaves = saved
-        d_pre, d_oji, d_d00, d_d01, d_d02 = _call_bwd(
-            pre, oji, d00, d01, d02, m, leaves, g
+        h_g, a_i, o_i, d00, d01, d02, m, leaves = saved
+        d_h_g, d_a_i, d_o_i, d_d00, d_d01, d_d02 = _call_bwd(
+            h_g, a_i, o_i, d00, d01, d02, m, leaves, g
         )
         zeros = tuple(jnp.zeros_like(a) for a in leaves)
-        return (d_pre, d_oji, d_d00, d_d01, d_d02, jnp.zeros_like(m)) + zeros
+        return (
+            d_h_g.astype(h_g.dtype) if h_g.dtype != d_h_g.dtype else d_h_g,
+            d_a_i, d_o_i, d_d00, d_d01, d_d02, jnp.zeros_like(m),
+        ) + zeros
 
     edge_op.defvjp(edge_fwd, edge_bwd)
     return edge_op
@@ -380,6 +422,7 @@ def sparse_kernel_model_forward(
     edge_matmul_dtype=None,
     edge_precision=None,
     matmul_dtype=None,
+    gather_dtype=None,
     box=None,
     interpret: bool = False,
     vmem_limit: int | None = None,
@@ -389,7 +432,9 @@ def sparse_kernel_model_forward(
     Same contract as ``sparse.sparse_model_forward`` (returns
     ``(out (B, N, F_out), x_out, v_out)``); gradients flow to ``x``/``h``
     only (see module docstring). ``block_rows`` receiver rows per grid
-    step (BN·K edge sublanes in VMEM at a time).
+    step (BN·K edge sublanes in VMEM at a time). ``gather_dtype=
+    jnp.bfloat16`` halves the h-gather/scatter traffic (the measured
+    XLA-side wall) at the bf16 edge tier.
     """
     from sake_tpu.kernels.functional import _embed, _make_mm, _readout
 
@@ -408,7 +453,8 @@ def sparse_kernel_model_forward(
     H = params.layers[0].edge.w_out0.shape[-1]
     e_rep, e_tile = head_expansion_matrices(H, n_heads)
     edge_op = _make_edge_op(
-        BN, edge_matmul_dtype, edge_precision, interpret, vmem_limit
+        BN, edge_matmul_dtype, edge_precision, interpret, vmem_limit,
+        grad_dtype=gather_dtype,
     )
 
     hc = _embed(params, h, mm)
@@ -424,20 +470,15 @@ def sparse_kernel_model_forward(
         lp, upd = lw
         h2d = hc.reshape(NR, F)
 
-        # node-factorized projections (XLA: tiny O(N·ch) matmuls)
-        a_j = mm(h2d, lp["w_in_j"]).reshape(B, N, -1)
+        # receiver-side projections (XLA: tiny O(N·ch) matmuls); the
+        # sender side is ONE gather of h (the j-projections happen
+        # in-kernel — half the gather/scatter traffic of gathering the
+        # two projected arrays)
         a_i = mm(h2d, lp["w_in_i"]) + lp["b_in"]
-        o_j = mm(h2d, lp["w_o_j"]).reshape(B, N, -1)
         o_i = mm(h2d, lp["w_o_i"]) + lp["b_o0"]
-
-        pre = (
-            _gather_rows(a_j, idx)
-            + a_i.reshape(B, N, 1, -1)
-        ).reshape(NR, K, -1)
-        oji = (
-            _gather_rows(o_j, idx)
-            + o_i.reshape(B, N, 1, -1)
-        ).reshape(NR, K, -1)
+        h_g = _gather_rows(
+            hc if gather_dtype is None else hc.astype(gather_dtype), idx
+        ).reshape(NR, K, F)
 
         xg = _gather_rows(xc, idx)  # (B, N, K, 3)
         d0 = xg - xc[:, :, None, :]
@@ -446,7 +487,7 @@ def sparse_kernel_model_forward(
         d0p = [d0[..., k].reshape(NR, K, 1) for k in range(3)]
 
         ep_leaves = tuple(lp[n] for n in _EDGE_LEAVES) + (e_rep, e_tile)
-        p0, p1, p2, hatt = edge_op(pre, oji, *d0p, m_flat, *ep_leaves)
+        p0, p1, p2, hatt = edge_op(h_g, a_i, o_i, *d0p, m_flat, *ep_leaves)
         pooled = [pk.reshape(B, N, -1) for pk in (p0, p1, p2)]
         C = pooled[0].shape[-1]
 
@@ -501,6 +542,7 @@ def make_sparse_kernel_energy_forces(
     block_rows: int = 32,
     edge_matmul_dtype=jnp.bfloat16,
     matmul_dtype=None,
+    gather_dtype=None,
     node_mask: Optional[jax.Array] = None,  # (B, N)
     box=None,
     interpret: bool = False,
@@ -520,8 +562,8 @@ def make_sparse_kernel_energy_forces(
                 p, h, x_, idx, nbr_mask,
                 n_heads=n_heads, update=update, block_rows=block_rows,
                 edge_matmul_dtype=edge_matmul_dtype,
-                matmul_dtype=matmul_dtype, box=box, interpret=interpret,
-                vmem_limit=vmem_limit,
+                matmul_dtype=matmul_dtype, gather_dtype=gather_dtype,
+                box=box, interpret=interpret, vmem_limit=vmem_limit,
             )
             if nm is not None:
                 out = out * nm

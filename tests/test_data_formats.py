@@ -266,3 +266,28 @@ def test_iso17_db_parse(monkeypatch):
     assert d.x.shape == (4, n, 3) and d.f.shape == (4, n, 3)
     np.testing.assert_allclose(d.e.ravel(), [1.25] * 4)
     np.testing.assert_allclose(d.f[0], rows[0].data["atomic_forces"])
+
+
+def test_ani_smiles_inventory(tmp_path):
+    """SMILES inventory over HDF5 shards (scripts/ani/smiles.py parity):
+    per-character smiles arrays joined, JSON output, groups without a
+    smiles field inventoried by name."""
+    import json
+
+    import h5py
+
+    from sake_tpu.data.ani import smiles_inventory
+
+    path = tmp_path / "ani_shard0.h5"
+    with h5py.File(path, "w") as f:
+        g = f.create_group("g0")
+        mol = g.create_group("mol0")
+        mol["atomic_numbers"] = np.array([6, 1], np.int64)
+        mol["smiles"] = np.array([b"C", b"C", b"O"])
+        bare = g.create_group("mol1_noname")
+        bare["atomic_numbers"] = np.array([8], np.int64)
+
+    out = tmp_path / "smiles.json"
+    got = smiles_inventory([str(path)], str(out))
+    assert got == ["CCO", "mol1_noname"]
+    assert json.load(open(out)) == got
