@@ -99,6 +99,18 @@ def main():
         lambda x_: neighbor_list(x_, cutoff, max_nbr, row_chunk=1024)
     )
 
+    def make_open_cell(side):
+        # O(N·27·cap) OPEN-boundary grid build — identical neighbor sets
+        # to the all-pairs `nlist` (sparse.py contract, tested); this is
+        # what keeps the build ~flat through N=16384 where the all-pairs
+        # O(N²) distance pass goes superlinear (251 ms at 16384, r3).
+        return jax.jit(
+            lambda x_: cell_neighbor_list(
+                x_, cutoff, max_nbr, box=(side,) * 3, periodic=False,
+                cell_capacity=32,
+            )
+        )
+
     def make_sparse_ef():
         def e(x_, h_, idx, m):
             out, _, _ = sparse_model_forward(kp, h_, x_, idx, m, remat=True)
@@ -195,6 +207,15 @@ def main():
         row = {}
         try:
             nl_sec, (idx_n, m_n) = _time_evals(nlist, x, reps=3)
+            oc_sec, (idx_o, m_o) = _time_evals(make_open_cell(side), x,
+                                               reps=3)
+            same = bool(
+                jnp.all(jnp.sort(jnp.where(m_o > 0, idx_o, n), -1)
+                        == jnp.sort(jnp.where(m_n > 0, idx_n, n), -1))
+            )
+            row["open_cell_nlist"] = (
+                round(oc_sec * 1e3, 2) if same else "failed: sets differ"
+            )
             sec, _ = _time_evals(sparse_ef, x, h, idx_n, m_n, reps=3)
             row["sparse"] = round(sec * 1e3, 2)
             row["sparse_nlist"] = round(nl_sec * 1e3, 2)

@@ -63,7 +63,7 @@ import os as _os
 _ABLATE = set(
     a for a in _os.environ.get("SAKE_ABLATE", "").split(",") if a
 )
-if _ABLATE:  # pragma: no cover
+if _ABLATE - {"geomfold"}:  # pragma: no cover — geomfold is exact
     import sys as _sys
 
     print(
@@ -84,6 +84,12 @@ _AB_NOATT = "noatt" in _ABLATE
 _AB_NOPOOL = "nopool" in _ABLATE
 _AB_NOGEOM = "nogeom" in _ABLATE
 _AB_NOFILT = "nofilt" in _ABLATE
+# EXACT rewrite probe (unlike the above, numerically identical): fold the
+# three (·, 1) geometry planes into ONE (·, 3) lane-tile so d0 / r / u
+# build in single VPU ops instead of three. Every (E, 1) plane occupies a
+# full 128-lane vreg tile, so each plane op costs ~half an (E, 256) wide
+# op — folding removes ~8 such ops per layer forward.
+_AB_GEOMFOLD = "geomfold" in _ABLATE
 if "nosilu" in _ABLATE:  # shadows the imported _silu (timing-only)
     _silu = lambda x: x * 0.5  # noqa: F811
 
@@ -158,9 +164,20 @@ def layer_fwd_resid(p, h, xp, vp, upd, *, e_rep, e_tile, mm, mm_edge=None,
     n_eff = float(n_real if n_real is not None else N)
     h2d = h.reshape(BT * N, F)
 
-    d0 = [pk[:, None, :, :] - pk[:, :, None, :] for pk in xp]
+    d0cat = None
+    if _AB_GEOMFOLD:
+        xcat = jnp.concatenate(xp, axis=-1)  # (BT, N, 3): one lane tile
+        d0cat = xcat[:, None, :, :] - xcat[:, :, None, :]  # (BT, N, N, 3)
+        d0 = [d0cat[..., k : k + 1] for k in range(3)]
+    else:
+        d0 = [pk[:, None, :, :] - pk[:, :, None, :] for pk in xp]
     if _AB_NOGEOM:  # pragma: no cover — timing-only
         r = d0[0] * 0.25 + 0.5
+    elif _AB_GEOMFOLD:
+        r = jnp.sqrt(
+            jax.nn.relu((d0cat * d0cat).sum(axis=-1, keepdims=True))
+            + EPSILON
+        )
     else:
         r = jnp.sqrt(
             jax.nn.relu(
@@ -250,6 +267,11 @@ def layer_fwd_resid(p, h, xp, vp, upd, *, e_rep, e_tile, mm, mm_edge=None,
                 axis=-2, dtype=jnp.float32
             )
             for k in range(3)
+        ]
+    elif _AB_GEOMFOLD:
+        ucat = d0cat * inv_r  # one (E, 3) op instead of three (E, 1)
+        pooled = [
+            (coeff * ucat[..., k : k + 1]).sum(axis=-2) for k in range(3)
         ]
     else:
         pooled = [(coeff * (d0[k] * inv_r)).sum(axis=-2) for k in range(3)]
@@ -414,7 +436,13 @@ def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
     g1 = resid["g1"].reshape(BT, N, 1)
 
     # geometry recompute (cheap, VPU): displacements and units from inputs
-    d0 = [pk[:, None, :, :] - pk[:, :, None, :] for pk in xp]
+    d0cat = None
+    if _AB_GEOMFOLD:  # one (·, 3) lane tile instead of three (·, 1) planes
+        xcat = jnp.concatenate(xp, axis=-1)
+        d0cat = xcat[:, None, :, :] - xcat[:, :, None, :]
+        d0 = [d0cat[..., k : k + 1] for k in range(3)]
+    else:
+        d0 = [pk[:, None, :, :] - pk[:, :, None, :] for pk in xp]
     inv_r = 1.0 / (r + 1e-5)
 
     # --- EE/DD: position/velocity update gates -----------------------------
@@ -476,7 +504,11 @@ def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
         d_pooled[k] = d_pooled[k] + 2.0 * pooled[k] * d_pool_sq / pd2
 
     # --- U/T: pooled_k = sum_j coeff * u_k ----------------------------------
-    u = [dk * inv_r for dk in d0]
+    if _AB_GEOMFOLD:
+        ucat = d0cat * inv_r
+        u = [ucat[..., k : k + 1] for k in range(3)]
+    else:
+        u = [dk * inv_r for dk in d0]
     if spat is not None:
         # MXU pullback of the pooled contraction:
         #   d_coeff = U3T @ d_pooled_stack   (one batched matmul)
@@ -516,8 +548,13 @@ def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
             (coeff * d_pooled[k][:, :, None, :]).sum(axis=-1, keepdims=True)
             for k in range(3)
         ]  # 3 x (BT, N, N, 1)
-    d_d0 = [du * inv_r for du in d_u]
-    d_ir = d_u[0] * d0[0] + d_u[1] * d0[1] + d_u[2] * d0[2]
+    if _AB_GEOMFOLD:
+        d_ucat = jnp.concatenate(d_u, axis=-1)  # (BT, N, N, 3)
+        d_d0cat = d_ucat * inv_r
+        d_ir = (d_ucat * d0cat).sum(axis=-1, keepdims=True)
+    else:
+        d_d0 = [du * inv_r for du in d_u]
+        d_ir = d_u[0] * d0[0] + d_u[1] * d0[1] + d_u[2] * d0[2]
     d_r = -(inv_r * inv_r) * d_ir  # from ir = 1/(r + 1e-5)
 
     # --- S: coeff = tanh(he_att @ Wx) [* mask] ------------------------------
@@ -612,15 +649,27 @@ def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
     # --- C/B: r = sqrt(relu(s)+eps), s = sum d0^2, d0 = x[j]-x[i] -----------
     relu_s_pos = (r * r > EPSILON).astype(r.dtype)  # relu'(s) as seen by jax
     d_s = d_r * (0.5 / r) * relu_s_pos
-    for k in range(3):
-        d_d0[k] = d_d0[k] + 2.0 * d0[k] * d_s
-    for k in range(3):
-        # d0[b,i,j] = x[b,j] - x[b,i]
-        d_xp[k] = (
-            d_xp[k]
-            + d_d0[k].sum(axis=-3)  # + at sender j
-            - d_d0[k].sum(axis=-2)  # - at receiver i
-        )
+    if _AB_GEOMFOLD:
+        d_d0cat = d_d0cat + 2.0 * d0cat * d_s
+        dsum_j = d_d0cat.sum(axis=-3)  # (BT, N, 3) at sender j
+        dsum_i = d_d0cat.sum(axis=-2)  # (BT, N, 3) at receiver i
+        for k in range(3):
+            # d0[b,i,j] = x[b,j] - x[b,i]
+            d_xp[k] = (
+                d_xp[k]
+                + dsum_j[..., k : k + 1]
+                - dsum_i[..., k : k + 1]
+            )
+    else:
+        for k in range(3):
+            d_d0[k] = d_d0[k] + 2.0 * d0[k] * d_s
+        for k in range(3):
+            # d0[b,i,j] = x[b,j] - x[b,i]
+            d_xp[k] = (
+                d_xp[k]
+                + d_d0[k].sum(axis=-3)  # + at sender j
+                - d_d0[k].sum(axis=-2)  # - at receiver i
+            )
 
     d_h = d_h2d.reshape(BT, N, F)
     if not want_param_grads:
@@ -655,42 +704,88 @@ def layer_bwd_resid(p, resid, h_in, xp, vp, upd, d_h_out, d_xp_out,
     rbf2 = e2(rbf)
     tm2 = e2(tm)
 
+    # The expensive leaves are (a, g) row-contractions a^T @ g. ``mm_pairs``
+    # holds the OPERANDS (unreduced); the cheap bias/offset leaves are
+    # reduced here either way. ``want_param_grads="pairs"`` returns the
+    # operands instead of contracting them — the shared-mode aug backward
+    # runs this function under ``jax.jvp`` where only the TANGENT of dW is
+    # consumed, so the primal's ~19 per-layer dW matmuls would be computed
+    # and discarded; with "pairs", the caller forms just the tangent
+    # ``t_a^T @ g + a^T @ t_g`` (the identical ops jax.jvp would emit for
+    # the contraction's tangent — bit-for-bit parity) and skips the
+    # primal contractions entirely.
+    mm_pairs = dict(
+        w_in_j=((h2d, d_a_j.reshape(BT * N, R)),),
+        w_in_i=((h2d, d_a_i.reshape(BT * N, R)),),
+        w_o_j=((h2d, d_o_j.reshape(BT * N, H)),),
+        w_o_i=((h2d, d_o_i.reshape(BT * N, H)),),
+        w_o_f=((filtered2, d_e02),),
+        w_o1=((se2, d_he2),),
+        w_sem=((e2(h_e), e2(d_sem_pre)),),
+        w_xmix=((he_att2, d_xm),),
+        w_post0=((pool_sq2, d_ps0),),
+        w_post1=((_silu(ps0), d_ps1),),
+        w_node_h=((h2d, d_node_pre),),
+        w_node_agg=((hatt2, d_node_pre),),
+        w_node_comb=((_silu(ps1), d_node_pre),),
+        w_node1=((_silu(node_pre), d_uv),),
+        w_vmix=tuple(
+            (pooled[k].reshape(BT * N, C), d_delta2[k]) for k in range(3)
+        ),
+        w_vel0=((h_out2, d_g0),),
+        w_vel1=((_silu(g0), d_g1),),
+    )
     dW = dict(
-        w_in_j=mm_t(h2d, d_a_j.reshape(BT * N, R)),
-        w_in_i=mm_t(h2d, d_a_i.reshape(BT * N, R)),
         b_in=rsum(d_a_j.reshape(BT * N, R)),
         rbf_m=rsum(d_rbf2 * rbf2 * (2.0 * p["rbf_b"] * tm2)),
         rbf_b=rsum(d_rbf2 * rbf2 * (-(tm2 * tm2))),
-        w_o_j=mm_t(h2d, d_o_j.reshape(BT * N, H)),
-        w_o_i=mm_t(h2d, d_o_i.reshape(BT * N, H)),
-        w_o_f=mm_edge_t(filtered2, d_e02),
         w_o_r=rsum(e2(d_e0 * r)),
         b_o0=rsum(d_e02),
-        w_o1=mm_edge_t(se2, d_he2),
         b_o1=rsum(d_he2),
-        w_sem=mm_edge_t(e2(h_e), e2(d_sem_pre)),
         b_sem=rsum(e2(d_sem_pre)),
-        w_xmix=mm_edge_t(he_att2, d_xm),
-        w_post0=mm_t(pool_sq2, d_ps0),
         b_post0=rsum(d_ps0),
-        w_post1=mm_t(_silu(ps0), d_ps1),
         b_post1=rsum(d_ps1),
-        w_node_h=mm_t(h2d, d_node_pre),
-        w_node_agg=mm_t(hatt2, d_node_pre),
-        w_node_comb=mm_t(_silu(ps1), d_node_pre),
         b_node0=rsum(d_node_pre),
-        w_node1=mm_t(_silu(node_pre), d_uv),
         b_node1=rsum(d_uv),
-        w_vmix=(
-            mm_t(pooled[0].reshape(BT * N, C), d_delta2[0])
-            + mm_t(pooled[1].reshape(BT * N, C), d_delta2[1])
-            + mm_t(pooled[2].reshape(BT * N, C), d_delta2[2])
-        ),
-        w_vel0=mm_t(h_out2, d_g0),
         b_vel0=rsum(d_g0),
-        w_vel1=mm_t(_silu(g0), d_g1),
     )
+    if want_param_grads == "pairs":
+        return d_h, d_xp, d_vp, dW, mm_pairs
+    dW.update(contract_param_pairs(mm_pairs, mm_t, mm_edge_t))
     return d_h, d_xp, d_vp, dW
+
+
+# Leaves whose row-contraction runs at the EDGE matmul tier (mm_edge_t);
+# all other mm_pairs leaves contract with mm_t.
+_EDGE_MM_LEAVES = frozenset({"w_o_f", "w_o1", "w_sem", "w_xmix"})
+
+
+def contract_param_pairs(mm_pairs, mm_t, mm_edge_t):
+    """``{name: sum_k a_k^T @ g_k}`` over a ``mm_pairs`` dict from
+    ``layer_bwd_resid(want_param_grads="pairs")``."""
+    out = {}
+    for nm, pairs in mm_pairs.items():
+        f = mm_edge_t if nm in _EDGE_MM_LEAVES else mm_t
+        acc = f(*pairs[0])
+        for a, g in pairs[1:]:
+            acc = acc + f(a, g)
+        out[nm] = acc
+    return out
+
+
+def contract_param_pair_tangents(mm_pairs, t_mm_pairs, mm_t, mm_edge_t):
+    """Tangent of :func:`contract_param_pairs` along ``t_mm_pairs``:
+    ``sum_k t_a^T @ g + a^T @ t_g`` — exactly the ops ``jax.jvp`` of the
+    contraction would emit, without ever forming the primal ``a^T @ g``."""
+    out = {}
+    for nm, pairs in mm_pairs.items():
+        f = mm_edge_t if nm in _EDGE_MM_LEAVES else mm_t
+        acc = None
+        for (a, g), (ta, tg) in zip(pairs, t_mm_pairs[nm]):
+            term = f(ta, g) + f(a, tg)
+            acc = term if acc is None else acc + term
+        out[nm] = acc
+    return out
 
 
 def layer_jvp_resid(p, resid, h, xp, vp, th, txp, tvp, upd, *, e_rep,
@@ -736,12 +831,24 @@ def layer_jvp_resid(p, resid, h, xp, vp, th, txp, tvp, upd, *, e_rep,
 
     h2d = h.reshape(BT * N, F)
     th2d = th.reshape(BT * N, F)
-    d0 = [pk[:, None, :, :] - pk[:, :, None, :] for pk in xp]
-    td0 = [tk[:, None, :, :] - tk[:, :, None, :] for tk in txp]
+    d0cat = td0cat = None
+    if _AB_GEOMFOLD:  # (·, 3) lane-tile geometry (see layer_fwd_resid)
+        xcat = jnp.concatenate(xp, axis=-1)
+        txcat = jnp.concatenate(txp, axis=-1)
+        d0cat = xcat[:, None, :, :] - xcat[:, :, None, :]
+        td0cat = txcat[:, None, :, :] - txcat[:, :, None, :]
+        d0 = [d0cat[..., k : k + 1] for k in range(3)]
+        td0 = [td0cat[..., k : k + 1] for k in range(3)]
+    else:
+        d0 = [pk[:, None, :, :] - pk[:, :, None, :] for pk in xp]
+        td0 = [tk[:, None, :, :] - tk[:, :, None, :] for tk in txp]
 
     # r = sqrt(relu(s) + eps): dr = 0.5/r * relu'(s) * ds
     relu_s_pos = (r * r > EPSILON).astype(r.dtype)
-    t_s = 2.0 * (d0[0] * td0[0] + d0[1] * td0[1] + d0[2] * td0[2])
+    if _AB_GEOMFOLD:
+        t_s = 2.0 * (d0cat * td0cat).sum(axis=-1, keepdims=True)
+    else:
+        t_s = 2.0 * (d0[0] * td0[0] + d0[1] * td0[1] + d0[2] * td0[2])
     t_r = (0.5 / r) * relu_s_pos * t_s
 
     # edge model tangents on saved activations
@@ -801,8 +908,14 @@ def layer_jvp_resid(p, resid, h, xp, vp, th, txp, tvp, upd, *, e_rep,
 
     inv_r = 1.0 / (r + 1e-5)
     t_inv_r = -(inv_r * inv_r) * t_r
-    u = [dk * inv_r for dk in d0]
-    t_u = [tk * inv_r + dk * t_inv_r for tk, dk in zip(td0, d0)]
+    if _AB_GEOMFOLD:
+        ucat = d0cat * inv_r
+        t_ucat = td0cat * inv_r + d0cat * t_inv_r
+        u = [ucat[..., k : k + 1] for k in range(3)]
+        t_u = [t_ucat[..., k : k + 1] for k in range(3)]
+    else:
+        u = [dk * inv_r for dk in d0]
+        t_u = [tk * inv_r + dk * t_inv_r for tk, dk in zip(td0, d0)]
     t_pooled = [
         (t_coeff * u[k] + coeff * t_u[k]).sum(axis=-2) for k in range(3)
     ]

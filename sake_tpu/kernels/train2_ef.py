@@ -64,6 +64,7 @@ from sake_tpu.kernels.resid_ef import (
     _make_mmt_prec,
     _node_channels,
     _resid_dtype_for,
+    contract_param_pair_tangents,
     layer_bwd_resid,
     layer_fwd_resid,
     layer_jvp_resid,
@@ -1351,16 +1352,31 @@ def make_ef_train2(
             ct_x = [sdtx[k][:] for k in range(3)]
             ct_v = [sdtv[k][:] for k in range(3)]
 
+            # "pairs": the jvp's PRIMAL would otherwise compute (and
+            # discard) the ~19 per-layer dW row-contraction matmuls; the
+            # operand-pairs mode skips them and the dW tangent is formed
+            # from the primal/tangent operands (bit-identical ops to what
+            # jax.jvp of the contraction emits).
+            kw_pairs = {**kw, "want_param_grads": "pairs"}
+
             def bwd_fn(resid_, h_, xp_, vp_):
                 return layer_bwd_resid(
-                    p, resid_, h_, xp_, vp_, upd, ct_h, ct_x, ct_v, **kw
+                    p, resid_, h_, xp_, vp_, upd, ct_h, ct_x, ct_v,
+                    **kw_pairs
                 )
 
-            ((dth2, dtxp2, dtvp2, _dW_unused), (hc, xc, vc, dW_t)) = (
-                jax.jvp(
-                    bwd_fn,
-                    (resid, h_in, xp_in, vp_in),
-                    (tresid, th_in, txp_in, tvp_in),
+            (
+                (dth2, dtxp2, dtvp2, _dWc_unused, pairs_p),
+                (hc, xc, vc, dWc_t, pairs_t),
+            ) = jax.jvp(
+                bwd_fn,
+                (resid, h_in, xp_in, vp_in),
+                (tresid, th_in, txp_in, tvp_in),
+            )
+            dW_t = dict(dWc_t)
+            dW_t.update(
+                contract_param_pair_tangents(
+                    pairs_p, pairs_t, mm_t, mm_edge_t
                 )
             )
 

@@ -78,6 +78,7 @@ def neighborlist_verlet_rollout(
     node_mask: Optional[jax.Array] = None,  # (B, N)
     box=None,  # (3,) orthorhombic periodic box
     cell_capacity: Optional[int] = None,  # use the O(N) cell-list build
+    cell_extent=None,  # (3,) static grid extent: O(N) build, OPEN system
     with_overflow: bool = False,
 ):
     """Velocity-Verlet on a cutoff force field with periodic neighbor-list
@@ -107,19 +108,27 @@ def neighborlist_verlet_rollout(
         neighbor_list,
     )
 
-    if cell_capacity is not None and box is None:
+    if cell_capacity is not None and box is None and cell_extent is None:
         raise ValueError(
             "cell_capacity requires a periodic `box` (the cell grid is "
-            "sized from it); for open boundaries drop cell_capacity to "
-            "use the O(N^2)-work all-pairs build"
+            "sized from it) or an open-boundary `cell_extent`; with "
+            "neither, drop cell_capacity to use the O(N^2)-work "
+            "all-pairs build"
         )
+    if cell_extent is not None and box is not None:
+        raise ValueError("pass either `box` (periodic) or `cell_extent` "
+                         "(open grid), not both")
 
     if cell_capacity is not None:
         # O(N·27·capacity) grid-binned build instead of the O(N²)
         # all-pairs pass — the production large-N configuration.
+        # cell_extent: same build on an OPEN system (clipped stencil,
+        # Euclidean distances); the extent only sizes the static grid.
         def build_list(x_):
             return cell_neighbor_list(
-                x_, cutoff + skin, max_neighbors, box=box,
+                x_, cutoff + skin, max_neighbors,
+                box=box if box is not None else cell_extent,
+                periodic=box is not None,
                 cell_capacity=cell_capacity, node_mask=node_mask,
                 with_overflow=True,
             )
@@ -132,30 +141,41 @@ def neighborlist_verlet_rollout(
 
     inv_m = (1.0 / masses)[..., None]
 
+    # The model is inlined into the program exactly ONCE (inside the
+    # verlet body): forces carry ACROSS rebuilds (exact under the
+    # standard skin criterion — the old list still contains every
+    # in-cutoff pair of the current positions, so the cutoff force
+    # field evaluates identically on either graph), and the sampled
+    # energy is the last verlet step's, which is already at the
+    # interval-end positions on the interval's graph. The previous
+    # structure inlined the depth-6 model three times per interval and
+    # cost 251 s of XLA compile at N=2048 (round-3 measurement); this
+    # one compiles ~3x faster with an identical trajectory.
+
     def verlet(carry, _):
-        x, v, f, idx, m = carry
+        x, v, f, e, idx, m = carry
         v_half = v + 0.5 * dt * f * inv_m
         x_new = x + dt * v_half
-        _, f_new = energy_forces_fn(params, x_new, idx, m)
+        e_new, f_new = energy_forces_fn(params, x_new, idx, m)
         v_new = v_half + 0.5 * dt * f_new * inv_m
-        return (x_new, v_new, f_new, idx, m), None
+        return (x_new, v_new, f_new, e_new, idx, m), None
 
     def interval(carry, _):
-        x, v = carry
+        x, v, f, e = carry
         if box is not None:
             bx = jnp.asarray(box, x.dtype)
-            x = x - bx * jnp.floor(x / bx)
+            x = x - bx * jnp.floor(x / bx)  # min-image forces: f unchanged
         idx, m, ovf = build_list(jax.lax.stop_gradient(x))
-        _, f = energy_forces_fn(params, x, idx, m)
-        (x, v, f, _, _), _ = jax.lax.scan(
-            verlet, (x, v, f, idx, m), None, length=rebuild_every
+        (x, v, f, e, _, _), _ = jax.lax.scan(
+            verlet, (x, v, f, e, idx, m), None, length=rebuild_every
         )
-        e, _ = energy_forces_fn(params, x, idx, m)
-        return (x, v), (x, v, e, ovf)
+        return (x, v, f, e), (x, v, e, ovf)
 
+    idx0, m0, _ = build_list(jax.lax.stop_gradient(x0))
+    e0, f0 = energy_forces_fn(params, x0, idx0, m0)
     n_intervals = n_steps // rebuild_every
     _, (xs, vs, es, ovfs) = jax.lax.scan(
-        interval, (x0, v0), None, length=n_intervals
+        interval, (x0, v0, f0, e0), None, length=n_intervals
     )
     if with_overflow:
         return xs, vs, es, ovfs

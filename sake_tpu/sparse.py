@@ -131,11 +131,12 @@ def cell_neighbor_list(
     cutoff: float,
     max_neighbors: int,
     *,
-    box,  # (3,) or scalar orthorhombic periodic box — STATIC (shape-determining)
+    box,  # (3,) or scalar orthorhombic box — STATIC (shape-determining)
     cell_capacity: int = 32,
     node_mask: Optional[jax.Array] = None,  # (B, N) 1 = real atom
     row_chunk: int = 4096,
     with_overflow: bool = False,
+    periodic: bool = True,
 ):
     """Cell-list (grid-binned) neighbor build: O(N·27·capacity) work.
 
@@ -163,6 +164,19 @@ def cell_neighbor_list(
     box dimension holds fewer than 3 cells — there the 27-cell stencil
     would alias cells and double-count senders, and the all-pairs pass
     is cheap anyway.
+
+    ``periodic=False`` builds an OPEN-boundary list: ``box`` is then just
+    the grid extent (positions need not lie inside it), distances are
+    plain Euclidean, and the stencil is clipped at the grid faces instead
+    of wrapped. Out-of-extent atoms are clipped into the boundary cell
+    layer, which is exact: clipping is per-dimension non-expansive
+    (``|clip(a)-clip(b)| <= |a-b|``), so any in-cutoff pair stays within
+    one stencil cell of each other — spurious candidates are distance-
+    filtered, none are missed. The failure mode is boundary-cell
+    crowding, reported through the same overflow count. This matches
+    :func:`neighbor_list` with ``box=None`` exactly (tested) and makes
+    the O(N·27·capacity) build available to open systems — the all-pairs
+    build's O(N²) distance pass is what goes superlinear past N≈8192.
     """
     import numpy as np
 
@@ -172,8 +186,8 @@ def cell_neighbor_list(
     ncell = tuple(max(int(L / float(cutoff)), 1) for L in box3)
     if min(ncell) < 3:
         return neighbor_list(
-            x, cutoff, max_neighbors, node_mask=node_mask, box=box,
-            with_overflow=with_overflow,
+            x, cutoff, max_neighbors, node_mask=node_mask,
+            box=box if periodic else None, with_overflow=with_overflow,
         )
 
     n_cells = ncell[0] * ncell[1] * ncell[2]
@@ -192,7 +206,10 @@ def cell_neighbor_list(
     nc = N // rc
 
     def one(xb, nmb):
-        xw = xb - bx * jnp.floor(xb / bx)  # wrap into [0, L)
+        if periodic:
+            xw = xb - bx * jnp.floor(xb / bx)  # wrap into [0, L)
+        else:
+            xw = xb  # open: grid ids clip; distances stay Euclidean
         ci = jnp.clip(
             jnp.floor(xw / widths).astype(jnp.int32), 0, ncell_arr - 1
         )  # (N, 3)
@@ -217,12 +234,24 @@ def cell_neighbor_list(
 
         def rows(args):
             ci_r, i_ids, xw_r = args  # (rc, 3), (rc,), (rc, 3)
-            nb = (ci_r[:, None, :] + offs[None]) % ncell_arr  # (rc, 27, 3)
+            nb_raw = ci_r[:, None, :] + offs[None]  # (rc, 27, 3)
+            if periodic:
+                nb = nb_raw % ncell_arr
+            else:  # clip at the grid faces; mask aliased stencil cells
+                nb = jnp.clip(nb_raw, 0, ncell_arr - 1)
             nb_id = (nb[..., 0] * ncell[1] + nb[..., 1]) * ncell[2] + nb[
                 ..., 2
             ]
-            cand = table[nb_id].reshape(rc, 27 * cap)  # (rc, M)
-            diff = _min_image(xw_r[:, None, :] - xpad[cand], bx)
+            cand = table[nb_id]  # (rc, 27, cap)
+            if not periodic:
+                in_grid = jnp.all(
+                    (nb_raw >= 0) & (nb_raw < ncell_arr), axis=-1
+                )  # (rc, 27)
+                cand = jnp.where(in_grid[..., None], cand, N)
+            cand = cand.reshape(rc, 27 * cap)  # (rc, M)
+            diff = xw_r[:, None, :] - xpad[cand]
+            if periodic:
+                diff = _min_image(diff, bx)
             d2 = (diff * diff).sum(-1)
             valid = (cand != i_ids[:, None]) & (cand < N) & (d2 < c2)
             score = jnp.where(valid, -d2, -jnp.inf)

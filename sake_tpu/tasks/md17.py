@@ -166,37 +166,28 @@ def run(cfg: MD17Config, logger: Optional[MetricLogger] = None):
             # coloring: E = raw*std + mean => F = -dE/dx = std * f_raw
             return (e * e_std + e_mean)[..., None], f * e_std
 
-        # eval runs the gen-5 fused single kernel (one_ef): no gradient
-        # will be taken, so the training primal's residual streaming
-        # would be dead HBM traffic; one_ef keeps residuals in VMEM
-        from sake_tpu.kernels.one_ef import one_energy_forces
+        # EVAL runs the lax f32 functional oracle on the kernel params —
+        # NOT a kernel. TRAINING stays on the bf16-tier kernels, but the
+        # low-precision matmul tier adds ~0.5-1.2 kcal/mol of ENERGY MAE
+        # (the 21-atom energy sum accumulates rounding noise the force
+        # components don't), which once made kernel-path runs report 3x
+        # the lax energy MAE while the trained parameters were actually
+        # equivalent (cross-eval diagnosis, 2026-08-19: kernel-params +
+        # f32-eval 0.620 vs lax 0.594 kcal/mol). Mosaic's DEFAULT f32
+        # matmul is itself bf16-tier, and Precision.HIGHEST in one_ef
+        # VMEM-OOMs at eval shapes (131M > 128M: 6-pass register spills)
+        # — the lax path is the canonical f32 tier, costs ~50 ms once
+        # per run at eval size, and needs no batch-tile padding.
+        # Reference eval shape: scripts/md17/eval.py:78-85.
+        from sake_tpu.kernels.functional import energy_and_forces_fn
 
         @jax.jit
-        def _eval_raw(kp, x):
+        def ef_eval(kp, x):
             h = jnp.broadcast_to(
                 species, (x.shape[0], n_atoms, species.shape[-1])
             ).astype(jnp.float32)
-            e, f = one_energy_forces(
-                kp, h, x, n_heads=cfg.n_heads, batch_tile=bt,
-                edge_matmul_dtype=(
-                    None if cfg.kernel_interpret else jnp.bfloat16
-                ),
-                resid_dtype=(
-                    jnp.float32 if cfg.kernel_interpret else jnp.bfloat16
-                ),
-                pad_atoms=True, interpret=cfg.kernel_interpret,
-            )
+            e, f = energy_and_forces_fn(kp, h, x, n_heads=cfg.n_heads)
             return (e * e_std + e_mean)[..., None], f * e_std
-
-        def ef_eval(kp, x):
-            nb = x.shape[0]
-            n_pad = (-nb) % bt  # duplicate-pad to a batch-tile multiple;
-            if n_pad:           # the pads' predictions are sliced off
-                x = jnp.concatenate(
-                    [x, jnp.broadcast_to(x[:1], (n_pad, *x.shape[1:]))]
-                )
-            e, f = _eval_raw(kp, x)
-            return e[:nb], f[:nb]
 
         params = model_params_from_linen(params["params"])
         state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)

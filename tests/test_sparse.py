@@ -472,3 +472,83 @@ def test_sparse_kernel_node_mask_and_pbc(setup):
     )(kp, xb, idx, m)
     np.testing.assert_allclose(e_k, e_l, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(f_k, f_l, rtol=5e-4, atol=5e-5)
+
+
+def test_cell_list_open_boundary_matches_allpairs():
+    """periodic=False: the grid-binned build on an OPEN system (plain
+    Euclidean distances, clipped stencil) == neighbor_list(box=None),
+    including atoms OUTSIDE the grid extent (clipping is non-expansive,
+    so no in-cutoff pair is missed) and padded atoms."""
+    from sake_tpu.sparse import cell_neighbor_list
+
+    rng = np.random.RandomState(7)
+    B, N, K = 2, 300, 32
+    extent = (12.0, 15.0, 13.0)
+    # ~15% of atoms pushed outside the extent on purpose
+    x = np.asarray(rng.rand(B, N, 3) * np.asarray(extent), np.float32)
+    out = rng.rand(B, N) < 0.15
+    x[out] += np.asarray([4.0, -3.0, 5.0], np.float32)
+    x = jnp.asarray(x)
+
+    i1, m1 = neighbor_list(x, 3.0, K)  # open all-pairs oracle
+    i2, m2, ov = cell_neighbor_list(
+        x, 3.0, K, box=extent, periodic=False, cell_capacity=96,
+        with_overflow=True,
+    )
+    assert int(np.asarray(ov).max()) == 0
+    assert jnp.all(
+        densify_neighbors(i1, m1, N) == densify_neighbors(i2, m2, N)
+    )
+
+    nm = jnp.asarray((rng.rand(B, N) > 0.2).astype(np.float32))
+    i1, m1 = neighbor_list(x, 3.0, K, node_mask=nm)
+    i2, m2 = cell_neighbor_list(
+        x, 3.0, K, box=extent, periodic=False, cell_capacity=96,
+        node_mask=nm,
+    )
+    assert jnp.all(
+        densify_neighbors(i1, m1, N) == densify_neighbors(i2, m2, N)
+    )
+    # small extent -> open all-pairs fallback (box must NOT leak in)
+    i3, m3 = cell_neighbor_list(
+        x, 6.0, K, box=(7.0, 7.0, 7.0), periodic=False
+    )
+    i4, m4 = neighbor_list(x, 6.0, K)
+    assert jnp.all(
+        densify_neighbors(i3, m3, N) == densify_neighbors(i4, m4, N)
+    )
+
+
+def test_rollout_cell_extent_open_matches_allpairs():
+    """cell_extent= (open-boundary O(N) build) reproduces the all-pairs
+    rollout trajectory exactly; cell_extent+box together is an error."""
+    from sake_tpu.md import neighborlist_verlet_rollout
+    from sake_tpu.sparse import make_sparse_energy_forces
+
+    rng = np.random.RandomState(8)
+    B, N, F = 1, 96, 4
+    h = jnp.asarray(rng.randn(B, N, F), jnp.float32)
+    x0 = jnp.asarray(rng.rand(B, N, 3) * 9.0, jnp.float32)
+    v0 = jnp.zeros_like(x0)
+    model = SAKEModel(hidden_features=8, out_features=1, depth=2)
+    params = model.init(jax.random.PRNGKey(0), h[0], x0[0])
+    kp = model_params_from_linen(params)
+    ef = make_sparse_energy_forces(h)
+    kw = dict(
+        dt=5e-4, n_steps=4, cutoff=2.5, max_neighbors=16, rebuild_every=2,
+    )
+    masses = jnp.ones((N,))
+    xs_a, _, es_a = neighborlist_verlet_rollout(
+        ef, kp, x0, v0, masses, **kw
+    )
+    xs_c, _, es_c = neighborlist_verlet_rollout(
+        ef, kp, x0, v0, masses,
+        cell_capacity=64, cell_extent=(9.0, 9.0, 9.0), **kw
+    )
+    np.testing.assert_allclose(np.asarray(xs_a), np.asarray(xs_c), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(es_a), np.asarray(es_c), rtol=1e-6)
+    with pytest.raises(ValueError, match="not both"):
+        neighborlist_verlet_rollout(
+            ef, kp, x0, v0, masses, box=(9.0,) * 3,
+            cell_capacity=64, cell_extent=(9.0,) * 3, **kw
+        )
