@@ -133,6 +133,7 @@ def make_ef_train2(
     aug_mode: str = "resid",
     aug_chunk: int | None = 128,
     shared_chunk: int | None = 512,
+    fused_primal: bool | None = None,
     interpret: bool = False,
 ):
     """Build ``ef(params, h, x) -> (e, f)`` whose primal runs the champion
@@ -169,6 +170,13 @@ def make_ef_train2(
       backward runs NO primal recompute: a tangent-only forward
       (``layer_jvp_resid``) plus the same 3-backward aug pullback.
 
+    - ``"fused"`` — "shared"'s math with the whole backward (tangent
+      forward, seed head, aug pullback) in ONE Pallas program per chunk:
+      tangent residuals/boundaries live in VMEM scratch, the primal
+      stream is read once as full-depth resident blocks, cotangents ride
+      the fori carry. Removes the tangent-stream HBM round trip, one
+      primal-stream re-read, and two kernel launches per chunk.
+
     ``shared_chunk``: batch chunk of the *shared* backward. The saved
     primal stream is whole-batch (it must survive to the backward), but
     the tangent stream's liveness is bounded to one chunk: the primal
@@ -181,7 +189,7 @@ def make_ef_train2(
     """
     from sake_tpu.kernels.resid_ef import resid_energy_forces
 
-    if aug_mode not in ("retrace", "resid", "shared"):
+    if aug_mode not in ("retrace", "resid", "shared", "fused"):
         raise ValueError(f"unknown aug_mode {aug_mode!r}")
     ABT = aug_batch_tile if aug_batch_tile is not None else batch_tile
     BT_P = batch_tile
@@ -1157,6 +1165,188 @@ def make_ef_train2(
             f = f[:, :n_real]
         return (e, f), boundary, h_fin, resid_arrays
 
+    # Fused primal (used when ``aug_mode="fused"``): forward, readout,
+    # and force-backward in ONE Pallas program per batch tile (the
+    # ``one_ef`` orchestration), with the residual + boundary streams
+    # written to chunk-blocked OUTPUT blocks that the in-kernel backward
+    # phase reads straight back from VMEM — the streams reach HBM once
+    # (they must survive to the training backward) but the force
+    # backward never re-reads them from HBM, and the fwd/readout/fbwd
+    # kernel launches collapse to one.
+    def _fused_primal(params, h, x):
+        c = _shared_prep(params, h, x)
+        B, N, F, depth = c["B"], c["N"], c["F"], c["depth"]
+        nc, ca = c["nc"], c["ca"]
+        leaves, resid_shapes = c["leaves"], c["resid_shapes"]
+        n_resid = len(resid_shapes)
+        n_real = c["n_real"]
+        grid = (B // BT_P,)
+        tpc = ca // BT_P
+
+        def cbspec1(shape5):
+            nd = len(shape5)
+
+            def imap(b, tpc=tpc, nd=nd):
+                return (b // tpc, 0, b % tpc) + (0,) * (nd - 3)
+
+            return pl.BlockSpec(
+                (1, shape5[1], BT_P) + shape5[3:], imap,
+                memory_space=pltpu.VMEM,
+            )
+
+        def bspec1(shape):
+            nd = len(shape)
+            return pl.BlockSpec(
+                (BT_P,) + shape[1:],
+                lambda b, nd=nd: (b,) + (0,) * (nd - 1),
+                memory_space=pltpu.VMEM,
+            )
+
+        def resident(a):
+            return pl.BlockSpec(
+                a.shape, lambda b, nd=a.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM,
+            )
+
+        flag1 = pl.BlockSpec(
+            (depth, 1), lambda b: (0, 0), memory_space=pltpu.SMEM
+        )
+
+        w_out0 = params.w_out0
+        b_out0 = params.b_out0.reshape(1, -1)
+        w_out1 = params.w_out1
+        b_out1 = params.b_out1.reshape(1, -1)
+        out_f = w_out1.shape[-1]
+        nr = n_real if n_real is not None else N
+
+        def kernel(*refs):
+            (x0r, x1r, x2r, hr, updr, err, etr) = refs[:7]
+            o = 7
+            w0r, b0r, w1r, b1r = refs[o : o + 4]
+            o += 4
+            lrefs = refs[o : o + len(leaves)]
+            o += len(leaves)
+            brefs = refs[o : o + 7]
+            hfin_ref = refs[o + 7]
+            o += 8
+            rrefs = refs[o : o + n_resid]
+            o += n_resid
+            e_ref, dx0_ref, dx1_ref, dx2_ref = refs[o : o + 4]
+
+            def read_leaf(i):
+                return {nm: r[i] for nm, r in zip(_LEAF_NAMES, lrefs)}
+
+            def fwd_body(i, carry):
+                hc, xp, vp = carry
+                for br, val in zip(brefs, [hc] + xp + vp):
+                    br[0, i] = val
+                h2, xp2, vp2, resid = layer_fwd_resid(
+                    read_leaf(i), hc, xp, vp, updr[i, 0],
+                    e_rep=err[:], e_tile=etr[:], mm=mm, mm_edge=mm_edge,
+                    n_real=n_real,
+                )
+                for (_, nm), rr in zip(resid_shapes, rrefs):
+                    rr[0, i] = resid[nm].astype(rr.dtype)
+                return h2, list(xp2), list(vp2)
+
+            xp0 = [x0r[:], x1r[:], x2r[:]]
+            vp0 = [jnp.zeros_like(xp0[0])] * 3
+            h_fin, _, _ = jax.lax.fori_loop(
+                0, depth, fwd_body, (hr[:], xp0, vp0)
+            )
+            hfin_ref[:] = h_fin
+
+            w0, b0, w1, b1 = w0r[:], b0r[:], w1r[:], b1r[:]
+
+            def readout_e(h_):
+                out = mm(
+                    _silu(mm(h_.reshape(BT_P * N, F), w0) + b0), w1
+                ) + b1
+                out = out.reshape(BT_P, N, out_f)[:, :nr]
+                return jnp.sum(out, axis=1)  # (BT_P, out_f)
+
+            e_blk, readout_vjp = jax.vjp(readout_e, h_fin)
+            (dh_fin,) = readout_vjp(jnp.ones_like(e_blk))
+            e_ref[:] = jnp.broadcast_to(
+                jnp.sum(e_blk, axis=-1, keepdims=True)[:, :, None],
+                (BT_P, N, 1),
+            )
+
+            def bwd_body(t, carry):
+                dh, dxp, dvp = carry
+                i = depth - 1 - t
+                h_in = brefs[0][0, i]
+                xp_in = [brefs[1 + k][0, i] for k in range(3)]
+                vp_in = [brefs[4 + k][0, i] for k in range(3)]
+                resid = {
+                    nm: rr[0, i].astype(jnp.float32)
+                    for (_, nm), rr in zip(resid_shapes, rrefs)
+                }
+                dh2, dxp2, dvp2 = layer_bwd_resid(
+                    read_leaf(i), resid, h_in, xp_in, vp_in, updr[i, 0],
+                    dh, dxp, dvp,
+                    e_rep=err[:], e_tile=etr[:], mm=mm, mm_edge=mm_edge,
+                    n_real=n_real,
+                )
+                return dh2, list(dxp2), list(dvp2)
+
+            zero = jnp.zeros((BT_P, N, 1), jnp.float32)
+            _, dxp, _ = jax.lax.fori_loop(
+                0, depth, bwd_body, (dh_fin, [zero] * 3, [zero] * 3)
+            )
+            dx0_ref[:] = dxp[0]
+            dx1_ref[:] = dxp[1]
+            dx2_ref[:] = dxp[2]
+
+        plane = jax.ShapeDtypeStruct((B, N, 1), jnp.float32)
+        bplane5 = jax.ShapeDtypeStruct((nc, depth, ca, N, 1), jnp.float32)
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((nc, depth, ca, N, F), jnp.float32)]
+                + [bplane5] * 6
+                + [jax.ShapeDtypeStruct((B, N, F), jnp.float32)]
+                + [
+                    jax.ShapeDtypeStruct(
+                        (nc, *s),
+                        _resid_dtype_for(nm, resid_dtype, resid_lowp),
+                    )
+                    for s, nm in resid_shapes
+                ]
+                + [plane] * 4
+            ),
+            in_specs=(
+                [bspec1((B, N, 1))] * 3
+                + [bspec1((B, N, F)), flag1]
+                + [resident(c["e_rep"]), resident(c["e_tile"])]
+                + [resident(a) for a in (w_out0, b_out0, w_out1, b_out1)]
+                + [resident(a) for a in leaves]
+            ),
+            out_specs=tuple(
+                [cbspec1((nc, depth, ca, N, F))]
+                + [cbspec1((nc, depth, ca, N, 1))] * 6
+                + [bspec1((B, N, F))]
+                + [cbspec1((nc, *s)) for s, _ in resid_shapes]
+                + [bspec1((B, N, 1))] * 4
+            ),
+            compiler_params=_compiler_params(
+                1,
+                vmem_limit=_AUG_BWD_VMEM if BT_P >= 8 else None,
+            ),
+            interpret=interpret,
+        )(*c["x_planes"], c["h0"], c["upd_flags"], c["e_rep"],
+          c["e_tile"], w_out0, b_out0, w_out1, b_out1, *leaves)
+        boundary = outs[:7]
+        h_fin = outs[7]
+        resid_arrays = outs[8 : 8 + n_resid]
+        e_out, dx0, dx1, dx2 = outs[8 + n_resid :]
+        e = e_out[:, 0, 0]
+        f = -jnp.concatenate([dx0, dx1, dx2], axis=-1)
+        if n_real is not None:
+            f = f[:, :n_real]
+        return (e, f), boundary, h_fin, resid_arrays
+
     # One chunk of the shared backward: tangent-only forward -> head seeds
     # -> aug backward. ``_shared_bwd`` maps this over the saved streams'
     # chunk axis so only ONE chunk's tangent stream is live in HBM at a
@@ -1454,6 +1644,292 @@ def make_ef_train2(
             d_wo0, d_bo0, d_wo1, d_bo1, *outs[5:],
         )
 
+    # One chunk of the FUSED shared backward: the tangent-only forward,
+    # the seed head, and the 3-backward aug pullback run in ONE Pallas
+    # program (grid ``(B/ABT,)``, ``one_ef``-style fori phases):
+    #
+    # - phase 1 (fori over depth): ``layer_jvp_resid`` on the saved primal
+    #   residuals — read ONCE as full-depth resident input blocks — with
+    #   the tangent residuals and tangent boundary states written to VMEM
+    #   scratch (never to HBM);
+    # - the seed head (readout jvp + its pullback and parameter grads)
+    #   evaluated in-kernel via ``jax.vjp`` of the node-level readout
+    #   pair, seeded with the per-sample ``g_e`` plane and ``-1`` on the
+    #   tangent nodes (no scalar reductions in-kernel);
+    # - phase 2 (reversed fori): the same 3-backward body as
+    #   ``aug_mode="shared"`` with the 14 cotangent planes carried in the
+    #   loop (no cotangent scratch), parameter grads accumulated into
+    #   resident output blocks across grid steps.
+    #
+    # vs "shared" this removes the tangent-residual HBM round trip, one
+    # primal-residual re-read, the tangent-boundary streams, the
+    # ``h_fin``/``th_fin``/seed round trips, and two kernel launches —
+    # the aug path is bandwidth/issue-bound (round-3: "retrace", with
+    # ~30% more FLOPs, measured only 6% slower than "shared"), so the
+    # DMA removal is the live lever.
+    def _fused_bwd_chunk(params, c, boundary, resid_arrays, h_fin, g_e,
+                         t_planes):
+        B = c["ca"]
+        N, F, depth = c["N"], c["F"], c["depth"]
+        leaves, resid_shapes = c["leaves"], c["resid_shapes"]
+        n_resid = len(resid_shapes)
+        n_real = c["n_real"]
+        grid = (B // ABT,)
+        nr = n_real if n_real is not None else N
+
+        def fdspec(shape4):
+            """Full-depth resident block of a (depth, B, rows, ch) saved
+            stream at the batch-grid position: read once per grid step."""
+            return pl.BlockSpec(
+                (shape4[0], ABT) + shape4[2:],
+                lambda b: (0, b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        def bspec1(shape):
+            nd = len(shape)
+            return pl.BlockSpec(
+                (ABT,) + shape[1:],
+                lambda b, nd=nd: (b,) + (0,) * (nd - 1),
+                memory_space=pltpu.VMEM,
+            )
+
+        def resident(a):
+            return pl.BlockSpec(
+                a.shape, lambda b, nd=a.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM,
+            )
+
+        flag1 = pl.BlockSpec(
+            (depth, 1), lambda b: (0, 0), memory_space=pltpu.SMEM
+        )
+
+        ge_plane = jnp.broadcast_to(
+            g_e[:, None, None].astype(jnp.float32), (B, N, 1)
+        )
+        # readout-head leaves as >=2D values (1-D breaks Mosaic layouts)
+        w_out0 = params.w_out0
+        b_out0 = params.b_out0.reshape(1, -1)
+        w_out1 = params.w_out1
+        b_out1 = params.b_out1.reshape(1, -1)
+        out_f = w_out1.shape[-1]
+
+        def kernel(*refs):
+            brefs = refs[:7]
+            rrefs = refs[7 : 7 + n_resid]
+            o = 7 + n_resid
+            (hfin_r, ger, t0r, t1r, t2r, updr, err, etr) = refs[o : o + 8]
+            o += 8
+            w0r, b0r, w1r, b1r = refs[o : o + 4]
+            o += 4
+            lrefs = refs[o : o + len(leaves)]
+            o += len(leaves)
+            dh0_ref, dx0_ref, dx1_ref, dx2_ref = refs[o : o + 4]
+            o += 4
+            gw0, gb0, gw1, gb1 = refs[o : o + 4]
+            o += 4
+            grefs = refs[o : o + len(leaves)]
+            scr = refs[o + len(leaves) :]
+            tb = scr[:7]
+            trefs = scr[7 : 7 + n_resid]
+
+            b = pl.program_id(0)
+
+            @pl.when(b == 0)
+            def _():
+                for gr in grefs:
+                    gr[:] = jnp.zeros_like(gr)
+                for gr in (gw0, gb0, gw1, gb1):
+                    gr[:] = jnp.zeros_like(gr)
+
+            def read_leaf(i):
+                return {nm: r[i] for nm, r in zip(_LEAF_NAMES, lrefs)}
+
+            def get_resid(i):
+                return {
+                    nm: rr[i].astype(jnp.float32)
+                    for (_, nm), rr in zip(resid_shapes, rrefs)
+                }
+
+            # --- phase 1: tangent-only forward, tresid -> VMEM scratch ---
+            def tfwd_body(d, carry):
+                th, txp, tvp = carry
+                tb[0][d] = th
+                for k in range(3):
+                    tb[1 + k][d] = txp[k]
+                    tb[4 + k][d] = tvp[k]
+                h_in = brefs[0][d]
+                xp_in = [brefs[1 + k][d] for k in range(3)]
+                vp_in = [brefs[4 + k][d] for k in range(3)]
+                th2, txp2, tvp2, tresid = layer_jvp_resid(
+                    read_leaf(d), get_resid(d), h_in, xp_in, vp_in,
+                    th, txp, tvp, updr[d, 0],
+                    e_rep=err[:], e_tile=etr[:], mm=mm, mm_edge=mm_edge,
+                    n_real=n_real,
+                )
+                for (_, nm), tr in zip(resid_shapes, trefs):
+                    tr[d] = tresid[nm].astype(tr.dtype)
+                return th2, list(txp2), list(tvp2)
+
+            zero = jnp.zeros((ABT, N, 1), jnp.float32)
+            th_fin, _, _ = jax.lax.fori_loop(
+                0, depth, tfwd_body,
+                (
+                    jnp.zeros((ABT, N, F), jnp.float32),
+                    [t0r[:], t1r[:], t2r[:]],
+                    [zero] * 3,
+                ),
+            )
+
+            # --- in-kernel seed head: S = <g_e, e> - sum(e_dot) ----------
+            w0, b0, w1, b1 = w0r[:], b0r[:], w1r[:], b1r[:]
+
+            def aug_ro(h_, th_, w0_, b0_, w1_, b1_):
+                def ro_nodes(hh):
+                    out = mm(
+                        _silu(mm(hh.reshape(ABT * N, F), w0_) + b0_), w1_
+                    ) + b1_
+                    return out.reshape(ABT, N, out_f)[:, :nr]
+
+                return jax.jvp(ro_nodes, (h_,), (th_,))
+
+            (o_p, o_d), ro_vjp = jax.vjp(
+                aug_ro, hfin_r[:], th_fin, w0, b0, w1, b1
+            )
+            ge_seed = jnp.broadcast_to(ger[:][:, :nr], (ABT, nr, out_f))
+            dhf, dthf, dw0, db0, dw1, db1 = ro_vjp(
+                (ge_seed, -jnp.ones_like(o_d))
+            )
+            gw0[:] += dw0
+            gb0[:] += db0
+            gw1[:] += dw1
+            gb1[:] += db1
+
+            # --- phase 2: reversed 3-backward aug pullback ----------------
+            def bwd_body(t, carry):
+                dh, dxp, dvp, dth, dtxp, dtvp = carry
+                i = depth - 1 - t
+                h_in = brefs[0][i]
+                xp_in = [brefs[1 + k][i] for k in range(3)]
+                vp_in = [brefs[4 + k][i] for k in range(3)]
+                th_in = tb[0][i]
+                txp_in = [tb[1 + k][i] for k in range(3)]
+                tvp_in = [tb[4 + k][i] for k in range(3)]
+                resid = get_resid(i)
+                tresid = {
+                    nm: tr[i].astype(jnp.float32)
+                    for (_, nm), tr in zip(resid_shapes, trefs)
+                }
+                p = read_leaf(i)
+                upd = updr[i, 0]
+                kw = dict(
+                    e_rep=err[:], e_tile=etr[:], mm=mm, mm_edge=mm_edge,
+                    n_real=n_real, mm_t=mm_t, mm_edge_t=mm_edge_t,
+                    want_param_grads=True,
+                )
+                dh_a, dxp_a, dvp_a, dW_a = layer_bwd_resid(
+                    p, resid, h_in, xp_in, vp_in, upd, dh, dxp, dvp, **kw
+                )
+                kw_pairs = {**kw, "want_param_grads": "pairs"}
+
+                def bwd_fn(resid_, h_, xp_, vp_):
+                    return layer_bwd_resid(
+                        p, resid_, h_, xp_, vp_, upd, dth, dtxp, dtvp,
+                        **kw_pairs
+                    )
+
+                (
+                    (dth2, dtxp2, dtvp2, _dWu, pairs_p),
+                    (hc, xc, vc, dWc_t, pairs_t),
+                ) = jax.jvp(
+                    bwd_fn,
+                    (resid, h_in, xp_in, vp_in),
+                    (tresid, th_in, txp_in, tvp_in),
+                )
+                dW_t = dict(dWc_t)
+                dW_t.update(
+                    contract_param_pair_tangents(
+                        pairs_p, pairs_t, mm_t, mm_edge_t
+                    )
+                )
+                for nm, gr in zip(_LEAF_NAMES, grefs):
+                    gr[i] += dW_a[nm] + dW_t[nm]
+                dh2 = dh_a + hc
+                dxp2 = [dxp_a[k] + xc[k] for k in range(3)]
+                dvp2 = [dvp_a[k] + vc[k] for k in range(3)]
+                return (
+                    dh2, dxp2, dvp2, dth2, list(dtxp2), list(dtvp2)
+                )
+
+            dh, dxp, _, _, _, _ = jax.lax.fori_loop(
+                0, depth, bwd_body,
+                (dhf, [zero] * 3, [zero] * 3, dthf, [zero] * 3, [zero] * 3),
+            )
+            dh0_ref[:] = dh
+            dx0_ref[:] = dxp[0]
+            dx1_ref[:] = dxp[1]
+            dx2_ref[:] = dxp[2]
+
+        plane = jax.ShapeDtypeStruct((B, N, 1), jnp.float32)
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((B, N, F), jnp.float32)]
+                + [plane] * 3
+                + [
+                    jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                    for a in (w_out0, b_out0, w_out1, b_out1)
+                ]
+                + [
+                    jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                    for a in leaves
+                ]
+            ),
+            in_specs=(
+                [fdspec((depth, B, N, F))]
+                + [fdspec((depth, B, N, 1))] * 6
+                + [fdspec(s) for s, _ in resid_shapes]
+                + [bspec1((B, N, F))]
+                + [bspec1((B, N, 1))] * 4
+                + [flag1]
+                + [resident(c["e_rep"]), resident(c["e_tile"])]
+                + [resident(a) for a in (w_out0, b_out0, w_out1, b_out1)]
+                + [resident(a) for a in leaves]
+            ),
+            out_specs=tuple(
+                [bspec1((B, N, F))]
+                + [bspec1((B, N, 1))] * 3
+                + [
+                    resident(a)
+                    for a in (w_out0, b_out0, w_out1, b_out1)
+                ]
+                + [resident(a) for a in leaves]
+            ),
+            scratch_shapes=(
+                [pltpu.VMEM((depth, ABT, N, F), jnp.float32)]
+                + [pltpu.VMEM((depth, ABT, N, 1), jnp.float32)] * 6
+                + [
+                    pltpu.VMEM(
+                        (s[0], ABT) + s[2:],
+                        _resid_dtype_for(nm, resid_dtype, resid_lowp),
+                    )
+                    for s, nm in resid_shapes
+                ]
+            ),
+            compiler_params=_compiler_params(
+                1, vmem_limit=_AUG_BWD_VMEM
+            ),
+            interpret=interpret,
+        )(*boundary, *resid_arrays, h_fin, ge_plane, *t_planes,
+          c["upd_flags"], c["e_rep"], c["e_tile"],
+          w_out0, b_out0, w_out1, b_out1, *leaves)
+        return (
+            outs[0], outs[1], outs[2], outs[3],
+            outs[4], outs[5].reshape(params.b_out0.shape), outs[6],
+            outs[7].reshape(params.b_out1.shape), *outs[8:],
+        )
+
     def _shared_bwd(params, h, x, boundary, h_fin, resid_arrays, g_e, g_f):
         c = _shared_prep(params, h, x)
         B, N, F, depth = c["B"], c["N"], c["F"], c["depth"]
@@ -1465,8 +1941,11 @@ def make_ef_train2(
         t_planes = [
             g_f[..., k : k + 1].reshape(nc, ca, N, 1) for k in range(3)
         ]
+        chunk_fn = (
+            _fused_bwd_chunk if aug_mode == "fused" else _shared_bwd_chunk
+        )
         res = jax.lax.map(
-            lambda ops: _shared_bwd_chunk(
+            lambda ops: chunk_fn(
                 params, c, ops[:7], ops[7 : 7 + n_resid],
                 ops[7 + n_resid], ops[8 + n_resid], ops[9 + n_resid :],
             ),
@@ -1511,15 +1990,20 @@ def make_ef_train2(
         )
         return d_params, d_h, d_x
 
-    if aug_mode == "shared":
+    if aug_mode in ("shared", "fused"):
+        use_fused_primal = (
+            fused_primal if fused_primal is not None
+            else aug_mode == "fused"
+        )
+        primal = _fused_primal if use_fused_primal else _shared_primal
 
         @jax.custom_vjp
         def ef_shared(params, h, x):
-            (e, f), *_ = _shared_primal(params, h, x)
+            (e, f), *_ = primal(params, h, x)
             return e, f
 
         def ef_shared_fwd(params, h, x):
-            (e, f), boundary, h_fin, resid_arrays = _shared_primal(
+            (e, f), boundary, h_fin, resid_arrays = primal(
                 params, h, x
             )
             return (e, f), (

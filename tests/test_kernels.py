@@ -782,7 +782,9 @@ def test_layer_jvp_resid_matches_jvp(setup, mode):
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "aug_mode", ["retrace", "resid", "shared", "shared-chunked"]
+    "aug_mode",
+    ["retrace", "resid", "shared", "shared-chunked", "fused",
+     "fused-chunked"],
 )
 def test_train2_second_order_grads(setup, aug_mode):
     """Second-order (force-loss) training on the JVP-augmented kernel
@@ -812,7 +814,7 @@ def test_train2_second_order_grads(setup, aug_mode):
         n_heads=4, update=True, batch_tile=2, aug_batch_tile=2,
         pad_atoms=True, chunk=None,
         aug_mode=aug_mode.split("-")[0], aug_chunk=2,
-        shared_chunk=2 if aug_mode == "shared-chunked" else None,
+        shared_chunk=2 if aug_mode.endswith("-chunked") else None,
         interpret=True,
     )
 
