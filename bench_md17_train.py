@@ -43,6 +43,11 @@ def main():
     # shared-mode backward chunk; lax.map chunk slices are materialized
     # per iteration, so big batches want chunk <= 256 to fit the plan
     shared_chunk = int(sys.argv[5]) if len(sys.argv) > 5 else 512
+    # decompose the fused mode's two fusions: argv[6] forces the fused
+    # primal on (1) / off (0); default follows aug_mode ("fused" -> on)
+    fused_primal = (
+        bool(int(sys.argv[6])) if len(sys.argv) > 6 else None
+    )
 
     from sake_tpu.data.md17 import ASPIRIN_Z
     from sake_tpu.kernels import model_params_from_linen
@@ -75,7 +80,7 @@ def main():
         edge_matmul_dtype=jnp.bfloat16, resid_dtype=jnp.bfloat16,
         pad_atoms=True, chunk=min(batch, 512),
         aug_mode=aug_mode, aug_chunk=min(batch, aug_chunk),
-        shared_chunk=shared_chunk,
+        shared_chunk=shared_chunk, fused_primal=fused_primal,
     )
 
     def loss_with(ef, h_, x_, e_tt, f_tt):
@@ -157,6 +162,7 @@ def main():
                 "lax_batch": bl,
                 "aug_batch_tile": aug_bt,
                 "aug_mode": aug_mode,
+                "fused_primal": fused_primal,
                 "order": "second (force-loss) — grad(loss(E, -dE/dx), params)",
             }
         )

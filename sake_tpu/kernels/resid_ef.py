@@ -1385,6 +1385,7 @@ def make_hidden_fn(
     resid_dtype=jnp.float32,
     resid_lowp=None,
     pad_atoms: bool = False,
+    want_x: bool = False,
     interpret: bool = False,
 ):
     """Build ``hidden(params: ModelParams, h, x, mask) -> h_fin`` with a
@@ -1399,6 +1400,13 @@ def make_hidden_fn(
     batches); its cotangent is zeros. Batch = one chunk: wrap in
     ``lax.map`` + gradient accumulation for big batches (residuals for
     the chunk live in HBM between fwd and bwd).
+
+    ``want_x=True`` returns ``(h_fin, x_out)`` and the VJP accepts
+    cotangents on BOTH — the position-forecasting training shape
+    (motion / md17_forecast / nbody losses regress the UPDATED
+    coordinates, ``scripts/motion/run.py`` / ``scripts/nbody/run.py``,
+    so their gradient seeds enter through the x channel, not an energy
+    readout).
     """
     BT = batch_tile
     mm = _make_mm_prec(matmul_dtype, precision)
@@ -1411,7 +1419,7 @@ def make_hidden_fn(
         edge_precision if edge_precision is not None else precision,
     )
 
-    def _prep(params, h, x, mask):
+    def _prep(params, h, x, mask, v=None):
         B, N0, F_in = h.shape
         n_real = None
         if pad_atoms and N0 % 8:
@@ -1419,6 +1427,8 @@ def make_hidden_fn(
             n_pad = (-N0) % 8
             h = jnp.pad(h, ((0, 0), (0, n_pad), (0, 0)))
             x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
+            if v is not None:
+                v = jnp.pad(v, ((0, 0), (0, n_pad), (0, 0)))
             if mask is not None:
                 mask = jnp.pad(mask, ((0, 0), (0, n_pad), (0, n_pad)))
         N = h.shape[1]
@@ -1445,6 +1455,9 @@ def make_hidden_fn(
             mm(h.reshape(B * N, F_in), params.w_embed) + params.b_embed
         ).reshape(B, N, F)
         x_planes = [x[..., k : k + 1] for k in range(3)]
+        v_planes = (
+            [v[..., k : k + 1] for k in range(3)] if v is not None else None
+        )
         mask_flat = (
             mask.reshape(B, N * N, 1) if mask is not None else None
         )
@@ -1452,31 +1465,45 @@ def make_hidden_fn(
             B=B, N=N, F=F, F_in=F_in, depth=depth, n_real=n_real,
             upd_flags=upd_flags, e_rep=e_rep, e_tile=e_tile, leaves=leaves,
             resid_shapes=resid_shapes, h0=h0, x_planes=x_planes,
+            v_planes=v_planes,
             mask_flat=mask_flat, h_padded=h, grid=(B // BT, depth),
         )
 
     def _read_p(lrefs):
         return {name: r[0] for name, r in zip(_LEAF_NAMES, lrefs)}
 
-    def _fwd(params, h, x, mask):
-        c = _prep(params, h, x, mask)
+    def _fwd(params, h, x, mask, v=None):
+        c = _prep(params, h, x, mask, v)
         B, N, F, depth = c["B"], c["N"], c["F"], c["depth"]
         leaves, resid_shapes = c["leaves"], c["resid_shapes"]
         n_resid = len(resid_shapes)
         has_mask = c["mask_flat"] is not None
+        has_v = c["v_planes"] is not None
         layer_n_real = None if has_mask else c["n_real"]
 
         def fwd_kernel(*refs):
-            x0r, x1r, x2r, hr, updr, err, etr = refs[:7]
-            lrefs = refs[7 : 7 + len(leaves)]
-            o = 7 + len(leaves)
+            x0r, x1r, x2r = refs[:3]
+            o = 3
+            vrs = None
+            if has_v:
+                vrs = refs[o : o + 3]
+                o += 3
+            hr, updr, err, etr = refs[o : o + 4]
+            o += 4
+            lrefs = refs[o : o + len(leaves)]
+            o += len(leaves)
             m4 = None
             if has_mask:
                 m4 = refs[o][:].reshape(BT, N, N, 1)
                 o += 1
             (bh, bx0, bx1, bx2, bv0, bv1, bv2, hfin) = refs[o : o + 8]
-            rrefs = refs[o + 8 : o + 8 + n_resid]
-            sh, sx0, sx1, sx2, sv0, sv1, sv2 = refs[o + 8 + n_resid :]
+            o += 8
+            xfins = ()
+            if want_x:
+                xfins = refs[o : o + 3]
+                o += 3
+            rrefs = refs[o : o + n_resid]
+            sh, sx0, sx1, sx2, sv0, sv1, sv2 = refs[o + n_resid :]
             sx, sv = (sx0, sx1, sx2), (sv0, sv1, sv2)
             d = pl.program_id(1)
 
@@ -1485,7 +1512,9 @@ def make_hidden_fn(
                 sh[:] = hr[:]
                 for k, xr in enumerate((x0r, x1r, x2r)):
                     sx[k][:] = xr[:]
-                    sv[k][:] = jnp.zeros_like(xr[:])
+                    sv[k][:] = (
+                        vrs[k][:] if has_v else jnp.zeros_like(xr[:])
+                    )
 
             hc = sh[:]
             xp = [sx[k][:] for k in range(3)]
@@ -1508,8 +1537,11 @@ def make_hidden_fn(
                 sx[k][:] = xp2[k]
                 sv[k][:] = vp2[k]
             hfin[:] = h2
+            for k, xfr in enumerate(xfins):
+                xfr[:] = xp2[k]
 
         bplane = jax.ShapeDtypeStruct((depth, B, N, 1), jnp.float32)
+        xplane = jax.ShapeDtypeStruct((B, N, 1), jnp.float32)
         outs = pl.pallas_call(
             fwd_kernel,
             grid=c["grid"],
@@ -1517,6 +1549,7 @@ def make_hidden_fn(
                 [jax.ShapeDtypeStruct((depth, B, N, F), jnp.float32)]
                 + [bplane] * 6
                 + [jax.ShapeDtypeStruct((B, N, F), jnp.float32)]
+                + ([xplane] * 3 if want_x else [])
                 + [
                     jax.ShapeDtypeStruct(
                         sh_, _resid_dtype_for(nm, resid_dtype, resid_lowp)
@@ -1525,7 +1558,7 @@ def make_hidden_fn(
                 ]
             ),
             in_specs=(
-                [_bspec((B, N, 1), BT)] * 3
+                [_bspec((B, N, 1), BT)] * (6 if has_v else 3)
                 + [_bspec((B, N, F), BT), _flag_spec(depth)]
                 + [_full_spec(c["e_rep"]), _full_spec(c["e_tile"])]
                 + _leaf_specs(leaves)
@@ -1535,20 +1568,24 @@ def make_hidden_fn(
                 [_dbspec((depth, B, N, F), BT)]
                 + [_dbspec((depth, B, N, 1), BT)] * 6
                 + [_bspec((B, N, F), BT)]
+                + ([_bspec((B, N, 1), BT)] * 3 if want_x else [])
                 + [_dbspec(sh_, BT) for sh_, _ in resid_shapes]
             ),
             scratch_shapes=[pltpu.VMEM((BT, N, F), jnp.float32)]
             + [pltpu.VMEM((BT, N, 1), jnp.float32)] * 6,
             compiler_params=_compiler_params(),
             interpret=interpret,
-        )(*c["x_planes"], c["h0"], c["upd_flags"], c["e_rep"], c["e_tile"],
+        )(*c["x_planes"], *(c["v_planes"] if has_v else ()),
+          c["h0"], c["upd_flags"], c["e_rep"], c["e_tile"],
           *leaves, *([c["mask_flat"]] if has_mask else []))
         boundary = outs[:7]
         h_fin = outs[7]
-        resid_arrays = outs[8:]
-        return c, boundary, h_fin, resid_arrays
+        x_fins = outs[8:11] if want_x else ()
+        resid_arrays = outs[8 + 3 * want_x :]
+        return c, boundary, h_fin, x_fins, resid_arrays
 
-    def _train_bwd(params, c, boundary, resid_arrays, dh_fin):
+    def _train_bwd(params, c, boundary, resid_arrays, dh_fin,
+                   dx_planes=None, want_dv=False):
         B, N, F, depth = c["B"], c["N"], c["F"], c["depth"]
         leaves, resid_shapes = c["leaves"], c["resid_shapes"]
         n_resid = len(resid_shapes)
@@ -1556,11 +1593,18 @@ def make_hidden_fn(
         layer_n_real = None if has_mask else c["n_real"]
         bh, bx0, bx1, bx2, bv0, bv1, bv2 = boundary
 
+        seed_x = dx_planes is not None
+
         def bwd_kernel(*refs):
             (bhr, bx0r, bx1r, bx2r, bv0r, bv1r, bv2r, dhfr, updr,
              err, etr) = refs[:11]
-            lrefs = refs[11 : 11 + len(leaves)]
-            o = 11 + len(leaves)
+            o = 11
+            dxfrs = ()
+            if seed_x:
+                dxfrs = refs[o : o + 3]
+                o += 3
+            lrefs = refs[o : o + len(leaves)]
+            o += len(leaves)
             rrefs = refs[o : o + n_resid]
             o += n_resid
             m4 = None
@@ -1568,9 +1612,14 @@ def make_hidden_fn(
                 m4 = refs[o][:].reshape(BT, N, N, 1)
                 o += 1
             dh0_ref, dx0_ref, dx1_ref, dx2_ref = refs[o : o + 4]
-            grefs = refs[o + 4 : o + 4 + len(leaves)]
+            o += 4
+            dvrefs = ()
+            if want_dv:
+                dvrefs = refs[o : o + 3]
+                o += 3
+            grefs = refs[o : o + len(leaves)]
             sdh, sdx0, sdx1, sdx2, sdv0, sdv1, sdv2 = refs[
-                o + 4 + len(leaves) :
+                o + len(leaves) :
             ]
             sdx, sdv = (sdx0, sdx1, sdx2), (sdv0, sdv1, sdv2)
 
@@ -1587,7 +1636,7 @@ def make_hidden_fn(
                 sdh[:] = dhfr[:]
                 zero = jnp.zeros((BT, N, 1), jnp.float32)
                 for k in range(3):
-                    sdx[k][:] = zero
+                    sdx[k][:] = dxfrs[k][:] if seed_x else zero
                     sdv[k][:] = zero
 
             dh = sdh[:]
@@ -1619,6 +1668,8 @@ def make_hidden_fn(
             dx0_ref[:] = dxp2[0]
             dx1_ref[:] = dxp2[1]
             dx2_ref[:] = dxp2[2]
+            for k, dvr in enumerate(dvrefs):
+                dvr[:] = dvp2[k]
 
         plane = jax.ShapeDtypeStruct((B, N, 1), jnp.float32)
         gspec = [
@@ -1631,7 +1682,7 @@ def make_hidden_fn(
             grid=c["grid"],
             out_shape=tuple(
                 [jax.ShapeDtypeStruct((B, N, F), jnp.float32)]
-                + [plane] * 3
+                + [plane] * (6 if want_dv else 3)
                 + [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in leaves]
             ),
             in_specs=(
@@ -1640,13 +1691,14 @@ def make_hidden_fn(
                 + [_bspec((B, N, F), BT)]
                 + [_flag_spec(depth)]
                 + [_full_spec(c["e_rep"]), _full_spec(c["e_tile"])]
+                + ([_bspec((B, N, 1), BT)] * 3 if seed_x else [])
                 + _leaf_specs(leaves, rev_depth=depth)
                 + [_dbspec(sh_, BT, rev_depth=depth) for sh_, _ in resid_shapes]
                 + ([_bspec((B, N * N, 1), BT)] if has_mask else [])
             ),
             out_specs=tuple(
                 [_bspec((B, N, F), BT)]
-                + [_bspec((B, N, 1), BT)] * 3
+                + [_bspec((B, N, 1), BT)] * (6 if want_dv else 3)
                 + gspec
             ),
             scratch_shapes=[pltpu.VMEM((BT, N, F), jnp.float32)]
@@ -1654,34 +1706,51 @@ def make_hidden_fn(
             compiler_params=_compiler_params(),
             interpret=interpret,
         )(bh, bx0, bx1, bx2, bv0, bv1, bv2, dh_fin, c["upd_flags"],
-          c["e_rep"], c["e_tile"], *leaves, *resid_arrays,
+          c["e_rep"], c["e_tile"], *(dx_planes if seed_x else ()),
+          *leaves, *resid_arrays,
           *([c["mask_flat"]] if has_mask else []))
         dh0 = outs[0]
         dxp = outs[1:4]
-        leaf_grads = dict(zip(_LEAF_NAMES, outs[4:]))
-        return dh0, dxp, leaf_grads
+        dvp = outs[4:7] if want_dv else None
+        leaf_grads = dict(
+            zip(_LEAF_NAMES, outs[4 + 3 * want_dv :])
+        )
+        return dh0, dxp, dvp, leaf_grads
 
-    def _fwd_infer(params, h, x, mask):
+    def _fwd_infer(params, h, x, mask, v=None):
         """Forward WITHOUT residual/boundary streaming — the jitted
         inference path (``jax.jit(forward)`` in the tasks) otherwise pays
         ~1.1 MB/molecule/layer of dead HBM traffic for residuals no
         backward will read."""
-        c = _prep(params, h, x, mask)
+        c = _prep(params, h, x, mask, v)
         B, N, F, depth = c["B"], c["N"], c["F"], c["depth"]
         leaves = c["leaves"]
         has_mask = c["mask_flat"] is not None
+        has_v = c["v_planes"] is not None
         layer_n_real = None if has_mask else c["n_real"]
 
         def infer_kernel(*refs):
-            x0r, x1r, x2r, hr, updr, err, etr = refs[:7]
-            lrefs = refs[7 : 7 + len(leaves)]
-            o = 7 + len(leaves)
+            x0r, x1r, x2r = refs[:3]
+            o = 3
+            vrs = None
+            if has_v:
+                vrs = refs[o : o + 3]
+                o += 3
+            hr, updr, err, etr = refs[o : o + 4]
+            o += 4
+            lrefs = refs[o : o + len(leaves)]
+            o += len(leaves)
             m4 = None
             if has_mask:
                 m4 = refs[o][:].reshape(BT, N, N, 1)
                 o += 1
             hfin = refs[o]
-            sh, sx0, sx1, sx2, sv0, sv1, sv2 = refs[o + 1 :]
+            o += 1
+            xfins = ()
+            if want_x:
+                xfins = refs[o : o + 3]
+                o += 3
+            sh, sx0, sx1, sx2, sv0, sv1, sv2 = refs[o:]
             sx, sv = (sx0, sx1, sx2), (sv0, sv1, sv2)
             d = pl.program_id(1)
 
@@ -1690,7 +1759,9 @@ def make_hidden_fn(
                 sh[:] = hr[:]
                 for k, xr in enumerate((x0r, x1r, x2r)):
                     sx[k][:] = xr[:]
-                    sv[k][:] = jnp.zeros_like(xr[:])
+                    sv[k][:] = (
+                        vrs[k][:] if has_v else jnp.zeros_like(xr[:])
+                    )
 
             h2, xp2, vp2, _ = layer_fwd_resid(
                 _read_p(lrefs), sh[:], [sx[k][:] for k in range(3)],
@@ -1703,50 +1774,102 @@ def make_hidden_fn(
                 sx[k][:] = xp2[k]
                 sv[k][:] = vp2[k]
             hfin[:] = h2
+            for k, xfr in enumerate(xfins):
+                xfr[:] = xp2[k]
 
-        h_fin = pl.pallas_call(
+        outs = pl.pallas_call(
             infer_kernel,
             grid=c["grid"],
-            out_shape=jax.ShapeDtypeStruct((B, N, F), jnp.float32),
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((B, N, F), jnp.float32)]
+                + (
+                    [jax.ShapeDtypeStruct((B, N, 1), jnp.float32)] * 3
+                    if want_x else []
+                )
+            ),
             in_specs=(
-                [_bspec((B, N, 1), BT)] * 3
+                [_bspec((B, N, 1), BT)] * (6 if has_v else 3)
                 + [_bspec((B, N, F), BT), _flag_spec(depth)]
                 + [_full_spec(c["e_rep"]), _full_spec(c["e_tile"])]
                 + _leaf_specs(leaves)
                 + ([_bspec((B, N * N, 1), BT)] if has_mask else [])
             ),
-            out_specs=_bspec((B, N, F), BT),
+            out_specs=tuple(
+                [_bspec((B, N, F), BT)]
+                + ([_bspec((B, N, 1), BT)] * 3 if want_x else [])
+            ),
             scratch_shapes=[pltpu.VMEM((BT, N, F), jnp.float32)]
             + [pltpu.VMEM((BT, N, 1), jnp.float32)] * 6,
             compiler_params=_compiler_params(),
             interpret=interpret,
-        )(*c["x_planes"], c["h0"], c["upd_flags"], c["e_rep"], c["e_tile"],
+        )(*c["x_planes"], *(c["v_planes"] if has_v else ()),
+          c["h0"], c["upd_flags"], c["e_rep"], c["e_tile"],
           *leaves, *([c["mask_flat"]] if has_mask else []))
         n_real = c["n_real"]
-        return h_fin[:, :n_real] if n_real is not None else h_fin
+        h_fin = outs[0]
+        if n_real is not None:
+            h_fin = h_fin[:, :n_real]
+        if not want_x:
+            return h_fin
+        x_out = jnp.concatenate(outs[1:4], axis=-1)
+        if n_real is not None:
+            x_out = x_out[:, :n_real]
+        return h_fin, x_out
 
     @jax.custom_vjp
     def hidden(params, h, x, mask):
         return _fwd_infer(params, h, x, mask)
 
+    @jax.custom_vjp
+    def hidden_x(params, h, x, v, mask):
+        return _fwd_infer(params, h, x, mask, v)
+
     def hidden_fwd(params, h, x, mask):
-        c, boundary, h_fin, resid_arrays = _fwd(params, h, x, mask)
+        return _hx_fwd(params, h, x, None, mask)
+
+    def hidden_x_fwd(params, h, x, v, mask):
+        return _hx_fwd(params, h, x, v, mask)
+
+    def _hx_fwd(params, h, x, v, mask):
+        c, boundary, h_fin, x_fins, resid_arrays = _fwd(
+            params, h, x, mask, v
+        )
         n_real = c["n_real"]
         out = h_fin[:, :n_real] if n_real is not None else h_fin
+        if want_x:
+            x_out = jnp.concatenate(x_fins, axis=-1)
+            if n_real is not None:
+                x_out = x_out[:, :n_real]
+            out = (out, x_out)
         # saved must be a pure-array pytree; the (cheap) config dict is
         # re-derived in the backward
-        return out, (params, h, x, mask, boundary, resid_arrays)
+        saved = (params, h, x, mask, boundary, resid_arrays)
+        if want_x:
+            saved = saved + (v,)
+        return out, saved
 
-    def hidden_bwd(saved, dh_fin):
-        params, h, x, mask, boundary, resid_arrays = saved
-        c = _prep(params, h, x, mask)
+    def hidden_bwd(saved, cots):
+        params, h, x, mask, boundary, resid_arrays = saved[:6]
+        v = saved[6] if want_x else None
+        c = _prep(params, h, x, mask, v)
         B, N, F_in, n_real = c["B"], c["N"], c["F_in"], c["n_real"]
+        dx_planes = None
+        if want_x:
+            dh_fin, dx_out = cots
+            if n_real is not None:
+                dx_out = jnp.pad(
+                    dx_out, ((0, 0), (0, N - n_real), (0, 0))
+                )
+            dx_planes = [dx_out[..., k : k + 1] for k in range(3)]
+        else:
+            dh_fin = cots
         if n_real is not None:
             dh_fin = jnp.pad(
                 dh_fin, ((0, 0), (0, N - n_real), (0, 0))
             )
-        dh0, dxp, leaf_grads = _train_bwd(
-            params, c, boundary, resid_arrays, dh_fin
+        dh0, dxp, dvp, leaf_grads = _train_bwd(
+            params, c, boundary, resid_arrays, dh_fin, dx_planes,
+            want_dv=v is not None,
         )
         # embedding pullback (XLA): h0 = h @ We + be
         h_pad = c["h_padded"]
@@ -1778,7 +1901,15 @@ def make_hidden_fn(
             b_out1=jnp.zeros_like(params.b_out1),
         )
         d_mask = None if mask is None else jnp.zeros_like(mask)
+        if want_x:
+            dv = jnp.concatenate(dvp, axis=-1)
+            if n_real is not None:
+                dv = dv[:, :n_real]
+            return d_params, d_h, dx, dv, d_mask
         return d_params, d_h, dx, d_mask
 
+    if want_x:
+        hidden_x.defvjp(hidden_x_fwd, hidden_bwd)
+        return hidden_x
     hidden.defvjp(hidden_fwd, hidden_bwd)
     return hidden

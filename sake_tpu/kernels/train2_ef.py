@@ -175,7 +175,15 @@ def make_ef_train2(
       tangent residuals/boundaries live in VMEM scratch, the primal
       stream is read once as full-depth resident blocks, cotangents ride
       the fori carry. Removes the tangent-stream HBM round trip, one
-      primal-stream re-read, and two kernel launches per chunk.
+      primal-stream re-read, and two kernel launches per chunk — and,
+      with only ONE whole-batch stream left in HBM, unlocks batch sizes
+      the two-stream "shared" mode OOMs at.
+
+    ``fused_primal``: run the primal as one fused program too (forward,
+    readout, and force-backward per batch tile, with the saved streams as
+    chunk-blocked output blocks the in-kernel backward reads straight
+    back). Defaults to ``aug_mode == "fused"``; pass explicitly to
+    decompose the two fusions when measuring.
 
     ``shared_chunk``: batch chunk of the *shared* backward. The saved
     primal stream is whole-batch (it must survive to the backward), but
@@ -1330,9 +1338,15 @@ def make_ef_train2(
                 + [cbspec1((nc, *s)) for s, _ in resid_shapes]
                 + [bspec1((B, N, 1))] * 4
             ),
+            # one_ef's bt>=8 budget (124M): same fwd+bwd body, the
+            # resident stream buffers are outputs instead of scratch;
+            # at bt<8 the boundary-stream outputs add ~2M over one_ef's
+            # at-the-edge 100M default, so grant the aug budget (117M)
             compiler_params=_compiler_params(
                 1,
-                vmem_limit=_AUG_BWD_VMEM if BT_P >= 8 else None,
+                vmem_limit=(
+                    124 * 1024 * 1024 if BT_P >= 8 else _AUG_BWD_VMEM
+                ),
             ),
             interpret=interpret,
         )(*c["x_planes"], c["h0"], c["upd_flags"], c["e_rep"],

@@ -623,6 +623,74 @@ def test_hidden_fn_inference_primal(setup, masked):
 
 
 @pytest.mark.slow
+def test_hidden_fn_want_x_forecast_grads():
+    """make_hidden_fn(want_x=True): the position-forecasting training
+    shape (motion/nbody/md17_forecast regress the UPDATED coordinates,
+    so gradient seeds enter through the x channel and the initial
+    velocity is a real input). Params, x, and v gradients of a combined
+    x-regression + energy loss must match the linen autodiff oracle."""
+    from sake_tpu.kernels.resid_ef import make_hidden_fn
+
+    rng = np.random.RandomState(3)
+    B, N, F = 4, 7, 5
+    h = jnp.asarray(rng.randn(B, N, F), jnp.float32)
+    x = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+    v = jnp.asarray(rng.randn(B, N, 3) * 0.5, jnp.float32)
+    x1 = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+    w = jnp.asarray(rng.randn(B), jnp.float32)
+    model = SAKEModel(hidden_features=16, out_features=1, depth=3)
+    # init WITH v: the linen layer only creates layer_0's velocity MLP
+    # when a velocity is supplied (reference semantics)
+    params = model.init(jax.random.PRNGKey(0), h, x, v)
+    kp = model_params_from_linen(params)
+
+    hx = make_hidden_fn(
+        n_heads=4, update=True, batch_tile=2, pad_atoms=True,
+        want_x=True, interpret=True,
+    )
+
+    def loss_k(p, v_):
+        h_fin, x_hat = hx(p, h, x, v_, None)
+        e = _kernel_readout(p, h_fin).sum(axis=(-2, -1))
+        return ((x_hat - x1) ** 2).mean() + 0.1 * (e * w).sum()
+
+    def loss_l(p_, v_):
+        out, x_hat, _ = model.apply(p_, h, x, v_)
+        e = out.sum(axis=(-2, -1))
+        return ((x_hat - x1) ** 2).mean() + 0.1 * (e * w).sum()
+
+    np.testing.assert_allclose(
+        float(loss_k(kp, v)), float(loss_l(params, v)), rtol=1e-4
+    )
+    g_k = jax.grad(loss_k)(kp, v)
+    g_o = model_params_from_linen(jax.grad(loss_l)(params, v))
+    for a, b in zip(jax.tree.leaves(g_o), jax.tree.leaves(g_k)):
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        jax.grad(loss_k, argnums=1)(kp, v),
+        jax.grad(loss_l, argnums=1)(params, v),
+        rtol=2e-3, atol=1e-5,
+    )
+
+
+@pytest.mark.slow
+def test_forecast_task_kernel_backbone():
+    """The motion task's kernel backbone (use_kernels=True) must produce
+    the same training trajectory as its lax path (interpret mode, f32)."""
+    from sake_tpu.tasks.forecast import ForecastConfig, run
+
+    kw = dict(workload="motion", n_epochs=2, epochs_per_block=2,
+              n_samples=40, batch_size=8, hidden_features=16, depth=2)
+    _, res_k = run(ForecastConfig(
+        use_kernels=True, kernel_batch_tile=4, kernel_interpret=True, **kw
+    ))
+    _, res_l = run(ForecastConfig(**kw))
+    np.testing.assert_allclose(
+        res_k["test_mse"], res_l["test_mse"], rtol=1e-4
+    )
+
+
+@pytest.mark.slow
 def test_resid_kernel_other_widths():
     """Kernel path generality: hidden/head sizes other than the flagship
     (64, 4) — shapes are read off the parameter pytree, nothing baked in."""
