@@ -213,7 +213,11 @@ def _other_headlines():
         ),
         "BENCH_HEADLINE.json": (
             "reference_own_headline_speedups",
-            ["nbody_speedup", "motion_speedup"],
+            ["nbody_speedup", "motion_speedup", "motion_kernel_speedup"],
+        ),
+        "BENCH_BIGSYS.json": (
+            "bigsys_sparse_atom_evals_per_sec",
+            ["value", "unit"],
         ),
         "BENCH_CONVERGENCE.json": (
             "md17_convergence_force_mae_ratio_vs_lax",

@@ -220,12 +220,103 @@ def bench_motion():
     t_ours = _median_time(
         make_step(our_model, our_params), repeats=3
     ) / float(_MOTION_STEPS)
-    return t_ref, t_ours, x_err
+    t_kern, kern_gate = _motion_kernel_leg(our_params, h, x0, x1)
+    return t_ref, t_ours, x_err, t_kern, kern_gate
+
+
+def _motion_kernel_leg(our_params, h, x0, x1):
+    """Third leg: the SAME full-batch position-MSE training step on the
+    Pallas train kernels (``make_hidden_fn(want_x=True)`` — the gradient
+    seeds enter through the x channel; reference workload shape:
+    ``scripts/motion/speed.py:36-45``). Gate before timing: loss and
+    parameter gradients vs this file's own lax leg (bf16 kernel tier).
+    Returns (sec/step or None, gate dict)."""
+    interp = jax.default_backend() == "cpu"
+    if interp and not os.environ.get("SAKE_HEADLINE_KERNEL_INTERPRET"):
+        return None, {"skipped": "cpu backend (interpret-only)"}
+    try:
+        from flax.training.train_state import TrainState
+
+        from sake_tpu.kernels import model_params_from_linen
+        from sake_tpu.kernels.resid_ef import make_hidden_fn
+
+        hx = make_hidden_fn(
+            n_heads=4, update=True, batch_tile=4, pad_atoms=True,
+            want_x=True,
+            edge_matmul_dtype=None if interp else jnp.bfloat16,
+            resid_dtype=jnp.float32 if interp else jnp.bfloat16,
+            interpret=interp,
+        )
+        kp0 = model_params_from_linen(our_params)
+        v0 = jnp.zeros_like(x0)
+
+        def loss_k(p):
+            _, x1_hat = hx(p, h, x0, v0, None)
+            return ((x1_hat - x1) ** 2).mean()
+
+        def loss_l(p):
+            from sake_tpu.models import SAKEModel
+
+            model = SAKEModel(
+                hidden_features=64, out_features=1, depth=4, update=True
+            )
+            _, x1_hat, _ = model.apply(p, h, x0)
+            return ((x1_hat - x1) ** 2).mean()
+
+        # --- parity gate: loss + param grads vs the lax leg ------------
+        lk, gk = jax.jit(jax.value_and_grad(loss_k))(kp0)
+        ll, gl = jax.jit(jax.value_and_grad(loss_l))(our_params)
+        loss_rel = abs(float(lk) - float(ll)) / (abs(float(ll)) + 1e-12)
+        g_oracle = model_params_from_linen(gl)
+        worst = 0.0
+        for a, b in zip(jax.tree.leaves(g_oracle), jax.tree.leaves(gk)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max()
+            if scale < 1e-8:  # zero-filled velocity leaves etc.
+                continue
+            worst = max(worst, float(np.abs(b - a).max() / scale))
+        gate = {"loss_rel": round(loss_rel, 6),
+                "worst_grad_rel": round(worst, 6)}
+        tol = 1e-4 if interp else 5e-2
+        if loss_rel > tol or worst > (1e-3 if interp else 0.1):
+            gate["failed"] = True
+            _mark(f"motion kernel gate FAILED: {gate}")
+            return None, gate
+
+        tx = optax.chain(
+            optax.add_decayed_weights(1e-10),
+            optax.adam(learning_rate=0.0005),
+        )
+        state = TrainState.create(apply_fn=None, params=kp0, tx=tx)
+
+        @jax.jit
+        def step(state):
+            grads = jax.grad(loss_k)(state.params)
+            return state.apply_gradients(grads=grads)
+
+        def hundred(state=state):
+            s = state
+            for _ in range(_MOTION_STEPS):
+                s = step(s)
+            return s.params
+
+        _mark(f"motion kernel gate ok ({gate}); timing kernel leg")
+        t_kern = _median_time(hundred, repeats=3) / float(_MOTION_STEPS)
+        return t_kern, gate
+    except Exception as ex:  # noqa: BLE001 — report, don't kill the bench
+        _mark(f"motion kernel leg unavailable: {ex}")
+        return None, {"error": str(ex).split("\n")[0][:160]}
 
 
 def main():
     nb_ref, nb_ours, nb_err = bench_nbody()
-    mo_ref, mo_ours, mo_err = bench_motion()
+    mo_ref, mo_ours, mo_err, mo_kern, mo_gate = bench_motion()
+    kern_fields = {}
+    if mo_kern is not None:
+        kern_fields = {
+            "motion_step_sec_ours_kernel": round(mo_kern, 6),
+            "motion_kernel_speedup": round(mo_ref / mo_kern, 3),
+        }
     print(
         json.dumps(
             {
@@ -239,6 +330,8 @@ def main():
                 "motion_step_sec_ours": round(mo_ours, 6),
                 "motion_speedup": round(mo_ref / mo_ours, 3),
                 "motion_parity_max_rel": mo_err,
+                **kern_fields,
+                "motion_kernel_gate": mo_gate,
                 "notes": (
                     "reference = sake from /root/reference driven with its "
                     "own speed.py structure (nbody: speed.py:42-58; "
@@ -247,7 +340,10 @@ def main():
                     "CONVERTED reference parameters (compat."
                     "convert_reference_params), parity-checked to fp32 "
                     "tier before timing. Synthetic data at the "
-                    "reference's exact shapes."
+                    "reference's exact shapes. motion_..._kernel = the "
+                    "same training step on the Pallas train kernels "
+                    "(make_hidden_fn want_x=True), gradient-parity-gated "
+                    "vs the lax leg before timing."
                 ),
             }
         )

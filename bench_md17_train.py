@@ -31,14 +31,19 @@ def main():
     # chunk-blocked saved streams (train2_ef shared_chunk), so batch
     # 1024/2048 fit HBM; the lax comparison still tops out at 512
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    # aug_bt=8 VMEM-OOMs the aug backward body (2x block bytes); 4 fits
-    aug_bt = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    # "shared" (default, measured champion 2.56x lax): primal streams
-    # residuals across the custom_vjp boundary, backward = hand-written
-    # tangent-only forward + 3-backward aug pullback, no primal
-    # recompute. "resid": chunked jvp-of-forward pipeline (2.47x).
-    # "retrace": the round-3 vjp(jvp(layer)) re-trace (2.44x).
-    aug_mode = sys.argv[3] if len(sys.argv) > 3 else "shared"
+    # "fused" (default, measured champion 2.98x lax @ bt=4/aug_bt=2):
+    # whole training backward (and primal) each in ONE Pallas program.
+    # "shared" (2.56x): primal streams residuals across the custom_vjp
+    # boundary, backward = hand-written tangent-only forward + 3-backward
+    # aug pullback, no primal recompute. "resid": chunked jvp-of-forward
+    # pipeline (2.47x). "retrace": round-3 vjp(jvp(layer)) (2.44x).
+    aug_mode = sys.argv[3] if len(sys.argv) > 3 else "fused"
+    # fused aug-bwd VMEM-OOMs at aug_bt=4 (199M > 128M); non-fused OOMs
+    # at 8 — per-mode champion defaults
+    aug_bt = (
+        int(sys.argv[2]) if len(sys.argv) > 2
+        else (2 if aug_mode == "fused" else 4)
+    )
     aug_chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 128
     # shared-mode backward chunk; lax.map chunk slices are materialized
     # per iteration, so big batches want chunk <= 256 to fit the plan
@@ -47,6 +52,13 @@ def main():
     # primal on (1) / off (0); default follows aug_mode ("fused" -> on)
     fused_primal = (
         bool(int(sys.argv[6])) if len(sys.argv) > 6 else None
+    )
+    # primal batch tile — the fused primal's residual OUTPUT windows
+    # carry the whole depth axis ((1, depth, bt, E, C), double-buffered),
+    # so its VMEM footprint is ~bt-proportional; 8 OOMs (196M > 128M)
+    bt = (
+        int(sys.argv[7]) if len(sys.argv) > 7
+        else (4 if aug_mode == "fused" else 8)
     )
 
     from sake_tpu.data.md17 import ASPIRIN_Z
@@ -76,7 +88,7 @@ def main():
         return e, -g
 
     ef_k = make_ef_train2(
-        n_heads=4, update=True, batch_tile=8, aug_batch_tile=aug_bt,
+        n_heads=4, update=True, batch_tile=bt, aug_batch_tile=aug_bt,
         edge_matmul_dtype=jnp.bfloat16, resid_dtype=jnp.bfloat16,
         pad_atoms=True, chunk=min(batch, 512),
         aug_mode=aug_mode, aug_chunk=min(batch, aug_chunk),
