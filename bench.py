@@ -4,25 +4,48 @@ The north-star metric (BASELINE.json): fused E+F evaluation — one forward
 plus one position-gradient backward of the flagship SAKE model (hidden=64,
 depth=6, the ``scripts/md17/run.py:40-44`` config) on aspirin (21 atoms).
 
-Prints ONE JSON line:
+Prints ONE-OR-MORE complete JSON lines, each of the form
 ``{"metric": ..., "value": N, "unit": "evals/s/chip", "vs_baseline": N,
-"impl": ..., "batch": N, "sweep": {...}}``
-where ``vs_baseline`` is the ratio against the 50,000 evals/s/chip
-north-star target (>= 1.0 means target met) and ``sweep`` records the
-lax-path throughput at several batch sizes plus the HBM-ceiling boundary
-(batch 4096 OOMs device HBM) so the memory envelope is regression-checked.
+"impl": ..., "batch": N, "sweep": {...}}``; the LAST line printed is the
+final answer and every earlier line is a valid provisional snapshot.
+``vs_baseline`` is the ratio against the 50,000 evals/s/chip north-star
+target (>= 1.0 means target met) and ``sweep`` records the lax-path
+throughput at several batch sizes plus the HBM-ceiling boundary (batch
+4096 OOMs device HBM) so the memory envelope is regression-checked.
+
+Evidence-robustness contract (round-4 lesson: the driver's window expired
+before the single end-of-run print, so the round recorded ``parsed:
+null``): the whole run operates under a total wall-clock budget
+(``SAKE_BENCH_TOTAL_BUDGET`` seconds, default 1500) and EMITS EARLY —
+a complete line goes out the moment the lax path at the main batch is
+measured, an improved line after the first verified kernel variant, and a
+final line at the end. Every optional stage (extra sweep points, the OOM
+probe, further kernel variants, big-batch probes) first checks the
+remaining budget and is skipped — recorded as ``"skipped (budget)"`` —
+rather than allowed to blow the window. If the budget expires with
+nothing measured, the line carries ``last_verified`` (the most recent
+oracle-verified on-chip number) clearly labeled as NOT from this run.
+
+Degraded-tunnel gate: CLAUDE.md records a tunnel mode (2026-08-19) where
+single-dispatch latency looks fine but CHAINED dispatches take ~1.9 s
+each and every measured number collapses uniformly. Before measuring,
+``_chained_dispatch_probe`` times a chain of trivial jitted dispatches
+ended by a readback; above 0.25 s/dispatch the run is flagged
+``tunnel_degraded`` and ``last_verified`` rides along so a depressed
+number is never mistaken for a regression.
 
 Two implementations are measured and the best VERIFIED one is reported:
 
 - ``lax`` — the XLA-compiled linen path (always runs; fast compile).
 - Pallas kernel variants (``SAKE_BENCH_KERNEL_VARIANTS``, ";"-separated
   ``kern_probe.py`` configs, e.g. ``fori:bt=4,prec=hi,edtype=bf16,pad=1``),
-  each attempted in a subprocess bounded by ``SAKE_BENCH_KERNEL_TIMEOUT``
-  seconds (0 disables) and VERIFIED against the HIGHEST-precision oracle
-  before its number can count. Mosaic compiles are cached server-side, so
-  after a first warm run this is cheap. A kernel number is NEVER reported
-  without the oracle check (two round-1 runs printed absurd throughputs
-  when verification was skipped).
+  each attempted in a subprocess bounded by the smaller of
+  ``SAKE_BENCH_KERNEL_TIMEOUT`` seconds and the remaining budget, and
+  VERIFIED against the HIGHEST-precision oracle before its number can
+  count. Mosaic compiles are cached server-side, so after a first warm
+  run this is cheap. A kernel number is NEVER reported without the
+  oracle check (two round-1 runs printed absurd throughputs when
+  verification was skipped).
 """
 
 import json
@@ -31,8 +54,6 @@ import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 TARGET_EVALS_PER_SEC = 50_000.0
@@ -50,10 +71,23 @@ DEFAULT_KERNEL_VARIANTS = (
     "resid:bt=8,prec=default,edtype=bf16,pad=1,ch=512,rdtype=bf16x;"
     "fori:bt=8,prec=default,edtype=bf16,pad=1"
 )
+# Most recent oracle-verified on-chip result (PERF.md) — carried on error
+# or degraded-tunnel lines so an outage never erases the evidence trail.
+LAST_VERIFIED = {
+    "value": 25760.0,
+    "impl": "one:bt=4,edtype=bf16,rdtype=bf16x,pad=1",
+    "batch": 32768,
+    "f_err_vs_oracle": 4.8e-3,
+    "measured": "2026-08-17 on-chip (see PERF.md)",
+    "vs_baseline": 0.515,
+}
 
 
 def build(batch: int):
     """lax-path (linen) fused E+F callable + inputs."""
+    import jax
+    import jax.numpy as jnp
+
     from sake_tpu.data.md17 import ASPIRIN_Z
     from sake_tpu.models import SAKEModel
     from sake_tpu.tasks.md17 import make_energy_force_fn
@@ -75,6 +109,8 @@ def measure(ef, params, x, min_seconds: float = 2.0, chain: int = 8) -> float:
     host READBACK (a value transfer cannot lie; ``block_until_ready`` alone
     proved unreliable over the device tunnel, and a per-call sync adds
     ~25 ms of tunnel latency that a production loop would never pay)."""
+    import jax
+
     e, f = ef(params, x)
     jax.block_until_ready((e, f))  # warmup/compile
     float(np.asarray(e).ravel()[0])
@@ -132,7 +168,7 @@ def _kernel_subprocess(batch: int, variant: str, timeout: float):
     return None
 
 
-def _oom_probe(batch: int) -> str:
+def _oom_probe(batch: int, timeout: float = 600) -> str:
     """Run one E+F evaluation at ``batch`` in a subprocess; 'oom' / 'ok'."""
     code = (
         "import bench, jax; ef, p, x = bench.build(%d); "
@@ -143,7 +179,7 @@ def _oom_probe(batch: int) -> str:
             [sys.executable, "-c", code],
             capture_output=True,
             text=True,
-            timeout=600,
+            timeout=timeout,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         if "PROBE_OK" in out.stdout:
@@ -161,32 +197,58 @@ def _oom_probe(batch: int) -> str:
         return "timeout"
 
 
-def _wait_for_tpu(max_tries: int = 20, sleep_s: int = 120) -> bool:
+def _wait_for_tpu(deadline: float, sleep_s: int = 90) -> bool:
     """The tunnel can go UNAVAILABLE for an hour+ (observed 2026-08-17):
     an unguarded jax op then blocks ~35 min in the client's retry loop and
-    dies without printing the JSON line. Probe in a bounded subprocess
-    and wait (up to ~45 min) for the chip before starting; return False
-    if it never comes back so the caller can emit an honest error line."""
+    dies without printing the JSON line. Probe in a bounded subprocess and
+    wait until ``deadline`` (perf_counter seconds) for the chip; return
+    False if it never comes back so the caller can emit an honest error
+    line — within the budget, not after the driver's window."""
     probe = (
         "import jax, jax.numpy as jnp; "
         "print(float(jax.jit(lambda x: (x @ x.T).sum())(jnp.ones((8, 128)))))"
     )
-    for i in range(max_tries):
+    i = 0
+    while True:
+        i += 1
         try:
             r = subprocess.run(
-                [sys.executable, "-c", probe], timeout=150,
+                [sys.executable, "-c", probe],
+                timeout=min(150, max(10, deadline - time.perf_counter())),
                 capture_output=True,
             )
             if r.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
             pass
+        if time.perf_counter() + sleep_s + 60 > deadline:
+            return False
         print(
-            f"# TPU tunnel unavailable (probe {i + 1}/{max_tries}); waiting",
+            f"# TPU tunnel unavailable (probe {i}); waiting",
             file=sys.stderr, flush=True,
         )
         time.sleep(sleep_s)
-    return False
+
+
+def _chained_dispatch_probe(chain: int = 16):
+    """Seconds per CHAINED dispatch of a trivial jitted op (degraded-tunnel
+    gate). Healthy tunnel: well under 10 ms/dispatch. The 2026-08-19
+    degradation mode ran ~1.9 s per chained dispatch while single-call
+    latency looked fine — a liveness probe cannot see it, this can."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x @ x.T + 1.0)
+    x = jnp.ones((128, 128))
+    x = f(x)
+    jax.block_until_ready(x)
+    float(np.asarray(x).ravel()[0])  # sync
+    t0 = time.perf_counter()
+    y = x
+    for _ in range(chain):
+        y = f(y)
+    float(np.asarray(y).ravel()[0])  # readback ends the chain
+    return (time.perf_counter() - t0) / chain
 
 
 def _other_headlines():
@@ -219,7 +281,17 @@ def _other_headlines():
             "bigsys_sparse_atom_evals_per_sec",
             ["value", "unit"],
         ),
-        "BENCH_CONVERGENCE.json": (
+        "BENCH_SPARSE_TRAIN.json": (
+            "bigsys_sparse_train_samples_per_sec",
+            ["value", "vs_lax", "n_atoms"],
+        ),
+        "BENCH_MDENGINE.json": (
+            "mdengine_atom_steps_per_sec",
+            ["value", "gates_passed"],
+        ),
+        # the convergence artifact lives at ACCURACY_MD17.json (round-4
+        # verdict: the old BENCH_CONVERGENCE.json pick silently missed)
+        "ACCURACY_MD17.json": (
             "md17_convergence_force_mae_ratio_vs_lax",
             ["vs_baseline", "gates_passed"],
         ),
@@ -237,104 +309,142 @@ def _other_headlines():
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    if not _wait_for_tpu():
-        print(
-            json.dumps(
-                {
-                    "metric": "md17_aspirin_energy_force_evals_per_sec_per_chip",
-                    "value": None,
-                    "unit": "evals/s/chip",
-                    "vs_baseline": None,
-                    "error": "tpu_unavailable: tunnel backend down for the "
-                    "whole probe window",
-                    # NOT a measurement from this run — the most recent
-                    # oracle-verified on-chip result (PERF.md), carried so
-                    # an outage doesn't erase the round's evidence trail.
-                    "last_verified": {
-                        "value": 25760.0,
-                        "impl": "one:bt=4,edtype=bf16,rdtype=bf16x,pad=1",
-                        "batch": 32768,
-                        "f_err_vs_oracle": 4.8e-3,
-                        "measured": "2026-08-17 on-chip (see PERF.md)",
-                        "vs_baseline": 0.515,
-                    },
-                    "other_headlines": _other_headlines(),
-                }
-            )
-        )
-        return
-    sweep = {}
-    value = None
-    for b in SWEEP_BATCHES:
-        ef, params, x = build(b)
-        rate = measure(ef, params, x)
-        sweep[str(b)] = round(rate, 1)
-        if b == batch:
-            value = rate
-        del ef, params, x
-    if value is None:
-        ef, params, x = build(batch)
-        value = measure(ef, params, x)
-        del ef, params, x
-    impl = "lax"
-    f_err = None
-    if os.environ.get("SAKE_BENCH_OOM_PROBE", "1") != "0":
-        sweep[str(OOM_PROBE_BATCH)] = _oom_probe(OOM_PROBE_BATCH)
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("SAKE_BENCH_TOTAL_BUDGET", "1500"))
 
-    # generous default: a COLD Mosaic compile of the resid fwd+bwd pair
-    # takes 5-12 min server-side (cached afterwards); 1200 s proved too
-    # tight when a source change invalidated the cache mid-round
+    def remaining():
+        return budget - (time.perf_counter() - t_start)
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    headlines = _other_headlines()  # disk-only; safe before the chip is up
+    state = {
+        "metric": "md17_aspirin_energy_force_evals_per_sec_per_chip",
+        "value": None,
+        "unit": "evals/s/chip",
+        "vs_baseline": None,
+        "impl": None,
+        "batch": batch,
+        "f_err_vs_oracle": None,
+        "sweep": {},
+        "budget_s": budget,
+        "other_headlines": headlines,
+    }
+
+    def emit(final=False):
+        """Print a complete, valid JSON snapshot NOW (flushed). The driver
+        takes the last line; every earlier line is a safe fallback if the
+        window expires mid-run."""
+        state["elapsed_s"] = round(time.perf_counter() - t_start, 1)
+        state["provisional"] = not final
+        print(json.dumps(state), flush=True)
+
+    if not _wait_for_tpu(deadline=t_start + budget - 30):
+        state["error"] = (
+            "tpu_unavailable: tunnel backend down for the whole probe window"
+        )
+        # NOT a measurement from this run — carried so an outage doesn't
+        # erase the round's evidence trail.
+        state["last_verified"] = LAST_VERIFIED
+        emit(final=True)
+        return
+
+    # degraded-tunnel gate (see module docstring)
+    spd = _chained_dispatch_probe()
+    state["chained_dispatch_s"] = round(spd, 4)
+    if spd > 0.25:
+        state["tunnel_degraded"] = True
+        state["last_verified"] = LAST_VERIFIED
+
+    # ---- lax path at the MAIN batch first: the minimum complete answer --
+    ef, params, x = build(batch)
+    value = measure(ef, params, x)
+    del ef, params, x
+    state["sweep"][str(batch)] = round(value, 1)
+    state["value"] = round(value, 1)
+    state["vs_baseline"] = round(value / TARGET_EVALS_PER_SEC, 4)
+    state["impl"] = "lax"
+    emit()  # first complete line: the lax number is on the record
+
+    def improve(rate, impl, ferr, at_batch):
+        if rate > value_box[0]:
+            value_box[0] = rate
+            state["value"] = round(rate, 1)
+            state["vs_baseline"] = round(rate / TARGET_EVALS_PER_SEC, 4)
+            state["impl"] = impl
+            state["f_err_vs_oracle"] = ferr
+            state["batch"] = at_batch
+            return True
+        return False
+
+    value_box = [value]
+
+    # ---- first kernel variant: the headline usually lives here ----------
     kernel_timeout = float(os.environ.get("SAKE_BENCH_KERNEL_TIMEOUT", "2700"))
-    if kernel_timeout > 0:
-        variants = os.environ.get(
+    variants = [
+        v
+        for v in os.environ.get(
             "SAKE_BENCH_KERNEL_VARIANTS", DEFAULT_KERNEL_VARIANTS
         ).split(";")
-        ranked = []  # (rate, variant) at the base batch
-        f_err = None
-        for variant in variants:
-            res = _kernel_subprocess(batch, variant, kernel_timeout)
-            if res is not None:
-                rate, ferr = res
-                sweep[variant] = round(rate, 1)
-                ranked.append((rate, variant))
-                if rate > value:
-                    value, impl, f_err = rate, variant, ferr
-        # the kernel path scales past the lax HBM ceiling (batch 4096 OOMs
-        # the lax program; the resident-residual kernels do not) — probe
-        # the TWO best variants at a big batch too (verified like the
-        # rest; the oracle is evaluated in 2048-sized pieces). Two, not
-        # one: the 2048 ranking does not always hold at 8192 (round-2's
-        # resid@8192 beat the round-2 2048 winner).
-        # batch sweep of the one_ef champion (evals/s): 2048 23.6k,
-        # 8192 25.1k, 16384 25.4k, 32768 25.8k, 65536 25.7k — per-launch
-        # overhead amortizes until ~32k, then flattens
-        big = int(os.environ.get("SAKE_BENCH_KERNEL_BIG_BATCH", "32768"))
-        if big > batch:
-            for _, v in sorted(ranked, reverse=True)[:2]:
-                res = _kernel_subprocess(big, v, kernel_timeout)
-                if res is not None:
-                    rate, ferr = res
-                    sweep[f"{v}@{big}"] = round(rate, 1)
-                    if rate > value:
-                        value, impl, batch = rate, f"{v}@{big}", big
-                        f_err = ferr
+        if v
+    ]
+    ranked = []  # (rate, variant) at the base batch
 
-    print(
-        json.dumps(
-            {
-                "metric": "md17_aspirin_energy_force_evals_per_sec_per_chip",
-                "value": round(value, 1),
-                "unit": "evals/s/chip",
-                "vs_baseline": round(value / TARGET_EVALS_PER_SEC, 4),
-                "impl": impl,
-                "batch": batch,
-                "f_err_vs_oracle": f_err,
-                "sweep": sweep,
-                "other_headlines": _other_headlines(),
-            }
-        )
-    )
+    def try_variant(v, at_batch, tag=None):
+        t = min(kernel_timeout, remaining() - 30)
+        if kernel_timeout <= 0:
+            return
+        if t < 120:
+            state["sweep"][tag or v] = "skipped (budget)"
+            return
+        res = _kernel_subprocess(at_batch, v, t)
+        if res is None:
+            state["sweep"][tag or v] = "failed-or-timeout"
+            return
+        rate, ferr = res
+        state["sweep"][tag or v] = round(rate, 1)
+        if at_batch == batch or tag is None:
+            ranked.append((rate, v))
+        improve(rate, tag or v, ferr, at_batch)
+
+    if variants:
+        try_variant(variants[0], batch)
+        emit()  # lax + first verified kernel variant: the VERDICT minimum
+
+    # ---- everything else is budget-gated gravy --------------------------
+    for b in SWEEP_BATCHES:
+        if str(b) in state["sweep"]:
+            continue
+        if remaining() < 180:
+            state["sweep"][str(b)] = "skipped (budget)"
+            continue
+        ef, params, x = build(b)
+        state["sweep"][str(b)] = round(measure(ef, params, x), 1)
+        del ef, params, x
+
+    if os.environ.get("SAKE_BENCH_OOM_PROBE", "1") != "0":
+        if remaining() > 240:
+            state["sweep"][str(OOM_PROBE_BATCH)] = _oom_probe(
+                OOM_PROBE_BATCH, timeout=min(600, remaining() - 60)
+            )
+        else:
+            state["sweep"][str(OOM_PROBE_BATCH)] = "skipped (budget)"
+    emit()
+
+    for v in variants[1:]:
+        try_variant(v, batch)
+
+    # the kernel path scales past the lax HBM ceiling (batch 4096 OOMs the
+    # lax program; the resident-residual kernels do not) — probe the TWO
+    # best variants at a big batch too (verified like the rest; the oracle
+    # is evaluated in 2048-sized pieces). Two, not one: the 2048 ranking
+    # does not always hold at 8192. Grid-size-only recompiles are cheap
+    # (~12-19 s) once the program is cached at any batch.
+    big = int(os.environ.get("SAKE_BENCH_KERNEL_BIG_BATCH", "32768"))
+    if big > batch:
+        for _, v in sorted(ranked, reverse=True)[:2]:
+            try_variant(v, big, tag=f"{v}@{big}")
+
+    emit(final=True)
 
 
 if __name__ == "__main__":
