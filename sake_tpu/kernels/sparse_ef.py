@@ -55,12 +55,27 @@ from sake_tpu.kernels.depthgrid_ef import (
     wide_stack,
 )
 from sake_tpu.kernels.functional import EPSILON, INF, ModelParams, _silu
+from sake_tpu.kernels.resid_ef import _make_mmt_prec
 from sake_tpu.kernels.split_ef import head_expansion_matrices
 
 
 def _dsilu(x):
     s = jax.nn.sigmoid(x)
     return s * (1.0 + x * (1.0 - s))
+
+
+# Per-program compile options REQUIRED when jitting a sparse TRAINING
+# graph (``param_grads=True`` under ``jax.grad``): inside the depth
+# scan's transposed body, XLA promotes the backward pallas call's result
+# tuple (d_h_g + the dW leaves) into scoped vmem, and past the default
+# 16M limit the compile fails with "Ran out of memory in memory space
+# vmem ... It should not be possible to run out of scoped vmem" instead
+# of falling back to HBM. Raising the per-program limit is the supported
+# knob — pass ``jax.jit(fn, compiler_options=SPARSE_TRAIN_COMPILER_OPTIONS)``
+# (options are forwarded to the device-side compile; evaluation/MD
+# graphs don't need it). Measured on-chip 2026-08-20 at N=512 (33.67M
+# scoped) and N=4096.
+SPARSE_TRAIN_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
 
 
 # leaves the edge kernel consumes (in _LEAF_NAMES order, filtered).
@@ -155,10 +170,18 @@ def _edge_chain(h_g, a_i, o_i, d0, m, ep, mm_e):
     )
 
 
-def _edge_pullback(h_g, d0, m, ep, mm_e, f, g_pooled, g_hatt):
+def _edge_pullback(h_g, d0, m, ep, mm_e, f, g_pooled, g_hatt, mmt=None):
     """Hand-written pullback of ``_edge_chain`` w.r.t.
     (h_g, a_i, o_i, d0): the ``layer_bwd_resid`` recipe restricted to
-    the edge scope, driven by recomputed intermediates ``f``."""
+    the edge scope, driven by recomputed intermediates ``f``.
+
+    With ``mmt`` (a row-contraction matmul, ``_make_mmt_prec``) the
+    pullback ALSO returns the edge-scope parameter gradients ``dW`` —
+    ``a^T @ g`` row-contractions + bias row-sums over the block's E2
+    edge rows, in ``_EDGE_LEAVES`` order/shapes — the ``layer_bwd_resid
+    (want_param_grads=True)`` recipe restricted to the edge scope. This
+    is what makes the sparse path TRAINABLE at kernel speed (round-5:
+    first-order in-kernel dW for the gathered (E, K) layout)."""
     BN, K, F = h_g.shape
     pre, oji = f["pre"], f["oji"]
     R = pre.shape[-1]
@@ -250,7 +273,35 @@ def _edge_pullback(h_g, d0, m, ep, mm_e, f, g_pooled, g_hatt):
         mm_e(d_pre.reshape(E2, R), ep["w_in_j"].T)
         + mm_e(d_oji.reshape(E2, H), ep["w_o_j"].T)
     ).reshape(BN, K, F)
-    return d_h_g, d_a_i, d_o_i, d_d0
+    if mmt is None:
+        return d_h_g, d_a_i, d_o_i, d_d0, None
+
+    # --- edge-scope parameter gradients (shapes == the _EDGE_LEAVES) ----
+    rsum = lambda a: a.sum(axis=0, keepdims=True)  # (rows, d) -> (1, d)
+    h_g2 = h_g.reshape(E2, F)
+    d_pre2 = d_pre.reshape(E2, R)
+    d_oji2 = d_oji.reshape(E2, H)
+    d_e02 = d_e0.reshape(E2, H)
+    d_he2 = d_h_e.reshape(E2, H)
+    d_sem2 = d_sem.reshape(E2, Kh)
+    tm = f["t"] - ep["rbf_m"]  # (BN, K, R)
+    d_rbf2 = d_rbf.reshape(E2, R)
+    rbf2 = f["rbf"].reshape(E2, R)
+    tm2 = tm.reshape(E2, R)
+    dW = dict(
+        w_in_j=mmt(h_g2, d_pre2),
+        w_o_j=mmt(h_g2, d_oji2),
+        rbf_m=rsum(d_rbf2 * rbf2 * (2.0 * ep["rbf_b"] * tm2)),
+        rbf_b=rsum(d_rbf2 * rbf2 * (-(tm2 * tm2))),
+        w_o_f=mmt((f["rbf"] * pre).reshape(E2, R), d_e02),
+        w_o_r=rsum((d_e0 * f["r"]).reshape(E2, H)),
+        w_o1=mmt(_silu(f["e0"]).reshape(E2, H), d_he2),
+        b_o1=rsum(d_he2),
+        w_sem=mmt(f["h_e"].reshape(E2, H), d_sem2),
+        b_sem=rsum(d_sem2),
+        w_xmix=mmt(f["he_att"], d_xm.reshape(E2, C)),
+    )
+    return d_h_g, d_a_i, d_o_i, d_d0, dW
 
 
 def _make_edge_op(
@@ -260,16 +311,32 @@ def _make_edge_op(
     interpret: bool = False,
     vmem_limit: int | None = None,
     grad_dtype=None,
+    want_param_grads: bool = False,
 ):
     """Build the custom-vjp edge op for a given receiver-block size.
 
     Signature: ``op(h_g (NR,K,F), a_i (NR,R), o_i (NR,H), d00, d01, d02
     (NR,K,1), m (NR,K,1), *edge_leaves) -> (p0, p1, p2 (NR,C),
-    hatt (NR,HK))``. Edge-leaf cotangents are ZERO (see the module
-    docstring). ``grad_dtype`` optionally stores the big ``d_h_g``
+    hatt (NR,HK))``. ``grad_dtype`` optionally stores the big ``d_h_g``
     cotangent (the scatter-add operand) at a lower dtype.
+
+    ``want_param_grads=False`` (evaluation/MD): edge-leaf cotangents are
+    ZERO (see the module docstring). ``want_param_grads=True`` (TRAINING):
+    the backward kernel additionally computes the 11 ``_EDGE_LEAVES``
+    gradients in-kernel — ``a^T @ g`` row-contraction matmuls over each
+    (BN·K)-edge block, accumulated across grid steps into resident
+    whole-array output blocks (the ``train_ef``/``resid_ef`` in-kernel dW
+    idiom: every grid step maps to block 0, zero-initialized at step 0,
+    ``+=`` after — verified exact on-chip for the dense kernels). The
+    ``e_rep``/``e_tile`` head-expansion constants stay zero-cotangent
+    (they are not parameters).
     """
     mm_e = _make_mm_prec(edge_matmul_dtype, edge_precision)
+    mmt_e = (
+        _make_mmt_prec(edge_matmul_dtype, edge_precision)
+        if want_param_grads
+        else None
+    )
     names = _EDGE_LEAVES + ("e_rep", "e_tile")
 
     def _call_fwd(h_g, a_i, o_i, d00, d01, d02, m, *leaves):
@@ -326,25 +393,39 @@ def _make_edge_op(
         gdt = grad_dtype or jnp.float32
         grid = (NR // BN,)
 
+        n_dw = len(_EDGE_LEAVES) if want_param_grads else 0
+
         def bwd_kernel(hg_r, ai_r, oi_r, d0_r, d1_r, d2_r, m_r, g0_r,
                        g1_r, g2_r, gh_r, *refs):
-            lrefs, orefs = refs[: len(names)], refs[len(names):]
+            lrefs = refs[: len(names)]
+            orefs = refs[len(names): len(names) + 6]
+            grefs = refs[len(names) + 6:]
             epk = {n: lr[:] for n, lr in zip(names, lrefs)}
             hg_v = hg_r[:].astype(jnp.float32)
             m_v = m_r[:]
             d0_v = [d0_r[:], d1_r[:], d2_r[:]]
             f = _edge_chain(hg_v, ai_r[:], oi_r[:], d0_v, m_v, epk, mm_e)
-            d_h_g, d_a_i, d_o_i, d_d0 = _edge_pullback(
+            d_h_g, d_a_i, d_o_i, d_d0, dW = _edge_pullback(
                 hg_v, d0_v, m_v, epk, mm_e, f,
-                [g0_r[:], g1_r[:], g2_r[:]], gh_r[:],
+                [g0_r[:], g1_r[:], g2_r[:]], gh_r[:], mmt=mmt_e,
             )
             orefs[0][:] = d_h_g.astype(orefs[0].dtype)
             orefs[1][:] = d_a_i
             orefs[2][:] = d_o_i
             for k in range(3):
                 orefs[3 + k][:] = d_d0[k]
+            if n_dw:
+                @pl.when(pl.program_id(0) == 0)
+                def _():
+                    for gr in grefs:
+                        gr[:] = jnp.zeros_like(gr)
 
-        return pl.pallas_call(
+                for nm, gr in zip(_EDGE_LEAVES, grefs):
+                    gr[:] += dW[nm]
+
+        # leaves arrive in ``names`` order = _EDGE_LEAVES + (e_rep, e_tile)
+        dw_shapes = list(leaves[: len(_EDGE_LEAVES)]) if n_dw else []
+        outs = pl.pallas_call(
             bwd_kernel,
             grid=grid,
             in_specs=[
@@ -363,6 +444,10 @@ def _make_edge_op(
                     jax.ShapeDtypeStruct((NR, H), jnp.float32),
                 ]
                 + [jax.ShapeDtypeStruct((NR, K, 1), jnp.float32)] * 3
+                + [
+                    jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                    for a in dw_shapes
+                ]
             ),
             out_specs=tuple(
                 [
@@ -371,12 +456,14 @@ def _make_edge_op(
                     _row_spec((NR, H), BN),
                 ]
                 + [_row_spec((NR, K, 1), BN)] * 3
+                + [_const_spec(a) for a in dw_shapes]
             ),
             compiler_params=_compiler_params(
                 n_grid_dims=1, vmem_limit=vmem_limit
             ),
             interpret=interpret,
         )(h_g, a_i, o_i, d00, d01, d02, m, gp0, gp1, gp2, ghatt, *leaves)
+        return outs
 
     @jax.custom_vjp
     def edge_op(h_g, a_i, o_i, d00, d01, d02, m, *leaves):
@@ -388,14 +475,21 @@ def _make_edge_op(
 
     def edge_bwd(saved, g):
         h_g, a_i, o_i, d00, d01, d02, m, leaves = saved
-        d_h_g, d_a_i, d_o_i, d_d00, d_d01, d_d02 = _call_bwd(
-            h_g, a_i, o_i, d00, d01, d02, m, leaves, g
-        )
-        zeros = tuple(jnp.zeros_like(a) for a in leaves)
+        outs = _call_bwd(h_g, a_i, o_i, d00, d01, d02, m, leaves, g)
+        d_h_g, d_a_i, d_o_i, d_d00, d_d01, d_d02 = outs[:6]
+        if want_param_grads:
+            d_leaves = tuple(
+                dw.astype(a.dtype)
+                for dw, a in zip(outs[6:], leaves)
+            ) + tuple(
+                jnp.zeros_like(a) for a in leaves[len(_EDGE_LEAVES):]
+            )
+        else:
+            d_leaves = tuple(jnp.zeros_like(a) for a in leaves)
         return (
             d_h_g.astype(h_g.dtype) if h_g.dtype != d_h_g.dtype else d_h_g,
             d_a_i, d_o_i, d_d00, d_d01, d_d02, jnp.zeros_like(m),
-        ) + zeros
+        ) + d_leaves
 
     edge_op.defvjp(edge_fwd, edge_bwd)
     return edge_op
@@ -426,15 +520,24 @@ def sparse_kernel_model_forward(
     box=None,
     interpret: bool = False,
     vmem_limit: int | None = None,
+    param_grads: bool = False,
 ):
     """Full sparse model with the edge chain on Pallas kernels.
 
     Same contract as ``sparse.sparse_model_forward`` (returns
-    ``(out (B, N, F_out), x_out, v_out)``); gradients flow to ``x``/``h``
-    only (see module docstring). ``block_rows`` receiver rows per grid
-    step (BN·K edge sublanes in VMEM at a time). ``gather_dtype=
+    ``(out (B, N, F_out), x_out, v_out)``). ``block_rows`` receiver rows
+    per grid step (BN·K edge sublanes in VMEM at a time). ``gather_dtype=
     jnp.bfloat16`` halves the h-gather/scatter traffic (the measured
     XLA-side wall) at the bf16 edge tier.
+
+    ``param_grads=False`` (evaluation/MD): gradients flow to ``x``/``h``
+    only (see module docstring). ``param_grads=True`` (TRAINING): the
+    edge kernels also emit in-kernel parameter gradients, so
+    ``jax.grad(loss)(params, ...)`` is exact end-to-end — the node-level
+    matmuls/embed/readout/gathers differentiate in XLA, the O(N·K·ch)
+    edge-scope dW comes out of the backward kernel as row-contraction
+    matmuls (zero extra HBM traffic). Keep it off for E+F evaluation:
+    the extra resident accumulators are pure overhead there.
     """
     from sake_tpu.kernels.functional import _embed, _make_mm, _readout
 
@@ -454,7 +557,7 @@ def sparse_kernel_model_forward(
     e_rep, e_tile = head_expansion_matrices(H, n_heads)
     edge_op = _make_edge_op(
         BN, edge_matmul_dtype, edge_precision, interpret, vmem_limit,
-        grad_dtype=gather_dtype,
+        grad_dtype=gather_dtype, want_param_grads=param_grads,
     )
 
     hc = _embed(params, h, mm)
@@ -574,3 +677,51 @@ def make_sparse_kernel_energy_forces(
         return e_b, -neg_f
 
     return energy_forces
+
+
+def make_sparse_kernel_energy_loss(
+    h: jax.Array,  # (B, N, F_in)
+    *,
+    n_heads: int = 4,
+    update: Sequence[bool] | bool = False,
+    block_rows: int = 32,
+    edge_matmul_dtype=jnp.bfloat16,
+    matmul_dtype=None,
+    gather_dtype=None,
+    node_mask: Optional[jax.Array] = None,  # (B, N)
+    box=None,
+    interpret: bool = False,
+    vmem_limit: int | None = None,
+):
+    """``(params, x, idx, nbr_mask, e_target (B,)) -> scalar`` energy-MAE
+    loss on the kernel-fused sparse model, differentiable w.r.t.
+    ``params`` — the TRAINING entry for the cutoff-sparse path (the OC20
+    energy-regression capability, ``/root/reference/scripts/oc20_batch/
+    run.py:93-97``, at large N where the dense train kernels don't
+    apply). ``jax.value_and_grad(loss)(params, ...)`` runs the edge-scope
+    backward + in-kernel dW in one Pallas program per layer; everything
+    else (node matmuls, gathers/scatter-adds, the depth scan) is XLA
+    autodiff. First-order only — force-loss (second-order) training at
+    large N stays on ``sake_tpu.sparse`` (lax), like the reference's own
+    OC20 runs train on energies.
+
+    ``update=False`` default: OC20-style relaxed-energy regression does
+    not flow positions; flip it on for flow-matching-style objectives.
+    """
+    nm = None if node_mask is None else node_mask[..., None]
+
+    def loss(p: ModelParams, x, idx, nbr_mask, e_target):
+        out, _, _ = sparse_kernel_model_forward(
+            p, h, x, idx, nbr_mask,
+            n_heads=n_heads, update=update, block_rows=block_rows,
+            edge_matmul_dtype=edge_matmul_dtype,
+            matmul_dtype=matmul_dtype, gather_dtype=gather_dtype,
+            box=box, interpret=interpret, vmem_limit=vmem_limit,
+            param_grads=True,
+        )
+        if nm is not None:
+            out = out * nm
+        e_b = out.sum(axis=(-2, -1))
+        return jnp.abs(e_b - e_target).mean()
+
+    return loss

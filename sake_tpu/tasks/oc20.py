@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import List, Optional, Union
 
 import jax
@@ -57,6 +58,15 @@ class OC20Config:
     # checkpoint the per-block scans so the TRAINING backward stays
     # O(N*block) memory like the forward (bigsys.blocked_layer_forward)
     bigsys_remat: bool = True
+    # Cutoff-sparse Pallas TRAINING path (round 5): the O(N·K) edge
+    # chain AND its parameter gradients run in the sparse edge kernels
+    # (kernels/sparse_ef, param_grads=True) — the large-N energy
+    # training the dense train kernels can't reach. The neighbor list
+    # is built on-device per batch from the cutoff geometry.
+    use_sparse_kernel: bool = False
+    sparse_cutoff: float = 5.0
+    sparse_max_neighbors: int = 32
+    sparse_block_rows: int = 32
 
 
 def run(cfg: OC20Config, logger: Optional[MetricLogger] = None):
@@ -114,6 +124,30 @@ def run(cfg: OC20Config, logger: Optional[MetricLogger] = None):
             out = (z @ p.w_out1 + p.b_out1).reshape(b, n, -1)
             return (out[..., 0] * node_mask).sum(-1, keepdims=True)
 
+    elif cfg.use_sparse_kernel:
+        from sake_tpu.kernels import model_params_from_linen
+        from sake_tpu.kernels.sparse_ef import sparse_kernel_model_forward
+        from sake_tpu.sparse import neighbor_list
+
+        params = model_params_from_linen(params["params"]["backbone"])
+
+        def forward(p, species, x, edge_mask, node_mask):
+            idx, m = neighbor_list(
+                x, cfg.sparse_cutoff, cfg.sparse_max_neighbors,
+                node_mask=node_mask,
+            )
+            out, _, _ = sparse_kernel_model_forward(
+                p, species, x, idx, m,
+                n_heads=cfg.n_heads, update=cfg.update,
+                block_rows=cfg.sparse_block_rows,
+                edge_matmul_dtype=(
+                    None if cfg.kernel_interpret else jnp.bfloat16
+                ),
+                interpret=cfg.kernel_interpret,
+                param_grads=True,
+            )
+            return (out[..., 0] * node_mask).sum(-1, keepdims=True)
+
     elif cfg.use_bigsys:
         from sake_tpu.bigsys import blocked_model_forward, sharded_model_forward
         from sake_tpu.kernels import model_params_from_linen
@@ -163,7 +197,15 @@ def run(cfg: OC20Config, logger: Optional[MetricLogger] = None):
 
     # scanned per-bucket groups + prefetch: <= max_buckets dispatches/epoch
     # (see tasks/ani.py; replaces the reference's per-batch host loop).
-    @jax.jit
+    # The sparse-kernel training graph needs the raised scoped-vmem
+    # budget (see kernels/sparse_ef.SPARSE_TRAIN_COMPILER_OPTIONS).
+    opts = None
+    if cfg.use_sparse_kernel and not cfg.kernel_interpret:
+        from sake_tpu.kernels.sparse_ef import SPARSE_TRAIN_COMPILER_OPTIONS
+
+        opts = SPARSE_TRAIN_COMPILER_OPTIONS
+
+    @partial(jax.jit, compiler_options=opts)
     def scan_group(state, batches):
         return jax.lax.scan(_step, state, batches)
 

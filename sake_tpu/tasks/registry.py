@@ -65,6 +65,11 @@ _REGISTRY: Dict[str, Callable] = {
     # large heterogeneous
     "ani": _lazy("ani", "run", "ANIConfig"),
     "oc20": _lazy("oc20", "run", "OC20Config"),
+    # round 5: energy training with the sparse-edge-kernel backbone
+    # (in-kernel parameter gradients; large-N capability)
+    "oc20_sparse_kernel": _lazy(
+        "oc20", "run", "OC20Config", use_sparse_kernel=True
+    ),
     # large-system MD on the cutoff-sparse O(N*K) path (capability the
     # reference's broken SparseSAKELayer never delivered)
     "sparse_md": _lazy("sparse_md", "run", "SparseMDConfig"),

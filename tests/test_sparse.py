@@ -449,6 +449,44 @@ def test_sparse_kernel_matches_lax_sparse(setup):
         np.testing.assert_allclose(o_k, o_l, **KTOL)
 
 
+def test_sparse_kernel_param_grads_match_lax(setup):
+    """Round-5 sparse TRAINING path: ``param_grads=True`` puts the
+    edge-scope dW in-kernel (row-contraction accumulation across grid
+    steps); ``jax.grad`` of the energy loss w.r.t. the full ModelParams
+    pytree must match the lax sparse path leaf-for-leaf (f32/interpret
+    tier). This is the gate that lets OC20-scale energy training run on
+    the sparse kernels."""
+    from sake_tpu.kernels.sparse_ef import make_sparse_kernel_energy_loss
+
+    kp, h, x = setup
+    idx, m = neighbor_list(x, 2.5, 16)
+    e_t = jnp.asarray([3.0, -1.0], jnp.float32)
+
+    for upd in (False, True):
+        def lax_loss(p):
+            out, _, _ = sparse_model_forward(p, h, x, idx, m, update=upd)
+            e_b = out.sum(axis=(-2, -1))
+            return jnp.abs(e_b - e_t).mean()
+
+        kern_loss = make_sparse_kernel_energy_loss(
+            h, update=upd, block_rows=8, edge_matmul_dtype=None,
+            interpret=True,
+        )
+        l_l, g_l = jax.value_and_grad(lax_loss)(kp)
+        l_k, g_k = jax.value_and_grad(
+            lambda p: kern_loss(p, x, idx, m, e_t)
+        )(kp)
+        np.testing.assert_allclose(l_k, l_l, rtol=1e-5, atol=1e-6)
+        leaves_l, tdef = jax.tree_util.tree_flatten(g_l)
+        leaves_k, _ = jax.tree_util.tree_flatten(g_k)
+        paths = jax.tree_util.tree_flatten_with_path(g_l)[0]
+        for (path, a), b in zip(paths, leaves_k):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(a).max(), 1e-8)
+            err = np.abs(a - b).max() / scale
+            assert err < 2e-4, (jax.tree_util.keystr(path), err, upd)
+
+
 def test_sparse_kernel_node_mask_and_pbc(setup):
     """Padded receivers (node_mask) and periodic boxes run through the
     kernel path with the same semantics as the lax sparse path."""

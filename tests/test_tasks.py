@@ -60,6 +60,10 @@ TINY = {
                 batch_size=32, data_parallel=False),
     "ani": dict(hidden_features=8, depth=2, n_epochs=1, n_samples=128,
                 batch_size=8, max_buckets=3),
+    "oc20_sparse_kernel": dict(hidden_features=8, depth=2, n_epochs=1,
+                               n_samples=32, batch_size=4, max_buckets=2,
+                               sparse_max_neighbors=8, sparse_block_rows=8,
+                               kernel_interpret=True),
     "oc20": dict(hidden_features=8, depth=2, n_epochs=1, n_samples=64,
                  batch_size=4, max_buckets=2),
     "motion": dict(hidden_features=8, depth=2, n_epochs=1, epochs_per_block=1,
