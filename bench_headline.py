@@ -149,7 +149,66 @@ def bench_nbody():
         lambda f=_unrolled_forward(our_model.apply, our_params, h, x, v):
         f(h, x, v)
     ) / 30.0
-    return t_ref, t_ours, x_err
+    t_kern, kern_gate = _nbody_kernel_leg(our_params, h, x, v)
+    return t_ref, t_ours, x_err, t_kern, kern_gate
+
+
+def _nbody_kernel_leg(our_params, h, x, v):
+    """Kernel leg for the nbody forward (round-4 verdict item 5: measure
+    it once at N=5 or write the closure — this measures it). The SAME
+    velocity-model forward (``make_hidden_fn(want_x=True)`` consumes the
+    real nbody velocities) under the reference benchmark's DCE'd
+    30-apply structure. Gate before timing: predicted positions vs this
+    file's own lax leg. Returns (sec/forward or None, gate dict)."""
+    interp = jax.default_backend() == "cpu"
+    if interp and not os.environ.get("SAKE_HEADLINE_KERNEL_INTERPRET"):
+        return None, {"skipped": "cpu backend (interpret-only)"}
+    try:
+        from sake_tpu.kernels import model_params_from_linen
+        from sake_tpu.kernels.resid_ef import make_hidden_fn
+
+        hx = make_hidden_fn(
+            n_heads=4, update=True, batch_tile=4, pad_atoms=True,
+            want_x=True,
+            edge_matmul_dtype=None if interp else jnp.bfloat16,
+            resid_dtype=jnp.float32 if interp else jnp.bfloat16,
+            interpret=interp,
+        )
+        kp = model_params_from_linen(our_params)
+
+        # parity gate: x_out of one batch-100 forward vs the lax leg
+        from sake_tpu.models import SAKEModel
+
+        model = SAKEModel(
+            hidden_features=64, out_features=1, depth=4, update=True
+        )
+        _, x_l, _ = jax.jit(model.apply)(our_params, h[0], x[0], v[0])
+        _, x_k = jax.jit(
+            lambda p, h_, x_, v_: hx(p, h_, x_, v_, None)
+        )(kp, h[0], x[0], v[0])
+        rel = float(
+            jnp.abs(x_k - x_l).max() / (jnp.abs(x_l).max() + 1e-12)
+        )
+        gate = {"x_rel": round(rel, 6)}
+        if rel > (1e-4 if interp else 5e-2):
+            gate["failed"] = True
+            _mark(f"nbody kernel gate FAILED: {gate}")
+            return None, gate
+
+        @jax.jit
+        def forward(h_, x_, v_):
+            for i in range(30):
+                _hf, _x = hx(kp, h_[i], x_[i], v_[i], None)
+            return _x
+
+        _mark(f"nbody kernel gate ok ({gate}); timing kernel leg")
+        t_kern = _median_time(lambda: forward(h, x, v)) / 30.0
+        return t_kern, gate
+    except Exception as ex:  # noqa: BLE001 — report, don't kill the bench
+        if os.environ.get("SAKE_HEADLINE_STRICT") == "1":
+            raise
+        _mark(f"nbody kernel leg unavailable: {ex}")
+        return None, {"error": str(ex).split("\n")[0][:160]}
 
 
 def bench_motion():
@@ -272,7 +331,11 @@ def _motion_kernel_leg(our_params, h, x0, x1):
         for a, b in zip(jax.tree.leaves(g_oracle), jax.tree.leaves(gk)):
             a, b = np.asarray(a), np.asarray(b)
             scale = np.abs(a).max()
-            if scale < 1e-8:  # zero-filled velocity leaves etc.
+            if scale < 1e-8:  # zero-oracle leaves (velocity gates etc.):
+                # the kernel grad must ALSO be ~0 — a wiring bug putting
+                # large spurious gradients on these leaves would otherwise
+                # pass silently and then be adam-updated in the timed leg
+                worst = max(worst, float(np.abs(b).max()))
                 continue
             worst = max(worst, float(np.abs(b - a).max() / scale))
         gate = {"loss_rel": round(loss_rel, 6),
@@ -304,12 +367,17 @@ def _motion_kernel_leg(our_params, h, x0, x1):
         t_kern = _median_time(hundred, repeats=3) / float(_MOTION_STEPS)
         return t_kern, gate
     except Exception as ex:  # noqa: BLE001 — report, don't kill the bench
+        # silent-regression guard: SAKE_HEADLINE_STRICT=1 re-raises so a
+        # programming error (bad kwarg after a refactor) fails the bench
+        # instead of dropping motion_kernel_speedup from the artifact
+        if os.environ.get("SAKE_HEADLINE_STRICT") == "1":
+            raise
         _mark(f"motion kernel leg unavailable: {ex}")
         return None, {"error": str(ex).split("\n")[0][:160]}
 
 
 def main():
-    nb_ref, nb_ours, nb_err = bench_nbody()
+    nb_ref, nb_ours, nb_err, nb_kern, nb_gate = bench_nbody()
     mo_ref, mo_ours, mo_err, mo_kern, mo_gate = bench_motion()
     kern_fields = {}
     if mo_kern is not None:
@@ -317,6 +385,12 @@ def main():
             "motion_step_sec_ours_kernel": round(mo_kern, 6),
             "motion_kernel_speedup": round(mo_ref / mo_kern, 3),
         }
+    if nb_kern is not None:
+        kern_fields.update({
+            "nbody_forward_sec_ours_kernel": round(nb_kern, 6),
+            "nbody_kernel_speedup": round(nb_ref / nb_kern, 3),
+        })
+    kern_fields["nbody_kernel_gate"] = nb_gate
     print(
         json.dumps(
             {

@@ -158,6 +158,13 @@ def main():
 
     lax_rate = measure(ef_lax, bl)
     kern_rate = measure(ef_k, batch) if gate_ok else None
+    # when batch > bl the headline vs_lax would mix operating points
+    # (throughput grows with batch) — also measure the kernel AT bl so
+    # one matched-batch ratio is always on the record
+    kern_rate_bl = (
+        kern_rate if batch == bl
+        else (measure(ef_k, bl) if gate_ok else None)
+    )
     ours = max(lax_rate, kern_rate or 0.0)
     print(
         json.dumps(
@@ -168,13 +175,24 @@ def main():
                 "lax_value": round(lax_rate, 1),
                 "kernel_value": round(kern_rate, 1) if kern_rate else None,
                 "vs_lax": round(ours / lax_rate, 3),
+                "vs_lax_matched_batch": (
+                    round(kern_rate_bl / lax_rate, 3) if kern_rate_bl
+                    else None
+                ),
                 "parity_worst_grad_rel": round(worst, 6),
                 "parity_loss_rel": round(l_err, 8),
                 "batch": batch,
                 "lax_batch": bl,
+                "batch_tile": bt,
                 "aug_batch_tile": aug_bt,
                 "aug_mode": aug_mode,
-                "fused_primal": fused_primal,
+                # the EFFECTIVE value (argv default None resolves inside
+                # make_ef_train2 to aug_mode == "fused") so the artifact
+                # is reproducible from the script's own output
+                "fused_primal": (
+                    fused_primal if fused_primal is not None
+                    else aug_mode == "fused"
+                ),
                 "order": "second (force-loss) — grad(loss(E, -dE/dx), params)",
             }
         )
