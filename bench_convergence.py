@@ -8,11 +8,14 @@ workload twice with the SAME config and seed through ``tasks/md17.run``
 ``eval.py:78-85``):
 
 - ``lax``  — double autodiff through the linen model (the oracle path);
-- ``kernel`` — ``use_kernel_ef``: primal on the residual-streaming Pallas
-  kernels, training gradient on the JVP-augmented kernel pair
-  (``kernels/train2_ef``, ``aug_mode="shared"``), eval on the lax f32
-  functional oracle (the canonical precision tier — the bf16 kernel
-  eval tier once inflated energy MAE 3.1x on identical params).
+- ``kernel`` — ``use_kernel_ef``: the SHIPPING default kernel path —
+  ``kernels/train2_ef`` ``aug_mode="fused"`` (whole training backward
+  and primal each in one Pallas program, the round-4 2.98x champion,
+  bt=4/aug_bt=2) — with eval on the lax f32 functional oracle (the
+  canonical precision tier — the bf16 kernel eval tier once inflated
+  energy MAE 3.1x on identical params). The fused mode's worst on-chip
+  param-grad rel is 8.1e-2 (bf16 tier); THIS artifact is the proof that
+  tier converges to lax-parity MAE, not just matches per-step.
 
 and reports both validation force/energy MAEs (bootstrap CI, kcal/mol)
 next to the untrained-data force scale. Gates (recorded in the JSON and
@@ -119,12 +122,14 @@ def main():
                 "kernel": results["kernel"],
                 "lax": results["lax"],
                 "n_epochs": n_epochs,
+                "aug_mode": MD17Config.aug_mode,
                 "notes": (
                     "same config+seed trained twice via tasks/md17.run: lax "
                     "double autodiff vs the second-order kernel path "
-                    "(train2_ef shared aug mode, one_ef eval); "
-                    "vs_baseline = kernel/lax MAE ratio (1.0 = identical "
-                    "convergence). Data: Morse-surrogate synthetic MD17."
+                    "(train2_ef, the shipping-default aug_mode recorded "
+                    "above, lax-f32 eval oracle); vs_baseline = kernel/lax "
+                    "MAE ratio (1.0 = identical convergence). Data: "
+                    "Morse-surrogate synthetic MD17."
                 ),
             }
         )

@@ -59,13 +59,16 @@ class MD17Config:
     # the lax double-autodiff step (BENCH_TRAIN_MD17.json). Training
     # state becomes the functional ModelParams pytree.
     use_kernel_ef: bool = False
-    kernel_batch_tile: int = 8
-    aug_batch_tile: int = 4
-    # "shared" streams the primal residuals across the custom_vjp
-    # boundary (no primal recompute in the backward) — the measured
-    # champion (2.56x lax at batch 512); "resid"/"retrace" are the
-    # chunked-pipeline and vjp-retrace fallbacks.
-    aug_mode: str = "shared"
+    # fused-mode VMEM champions (round 4, BENCH_TRAIN_MD17.json): the
+    # fused primal's residual windows carry the whole depth axis, so
+    # bt=8 OOMs (196M > 128M) — bt=4 + aug_bt=2 is the shipping point
+    kernel_batch_tile: int = 4
+    aug_batch_tile: int = 2
+    # "fused" runs the whole training backward (and primal) each in ONE
+    # Pallas program — the measured champion (2.98x lax at batch 512,
+    # 6,574 samples/s); "shared" (residuals streamed across the
+    # custom_vjp boundary, 2.56x) and "resid"/"retrace" are fallbacks.
+    aug_mode: str = "fused"
     kernel_interpret: bool = False  # CPU-backend testing
 
 
