@@ -289,6 +289,10 @@ def _other_headlines():
             "mdengine_atom_steps_per_sec",
             ["value", "gates_passed"],
         ),
+        "BENCH_SPARSE_TRAIN2.json": (
+            "bigsys_sparse_train2_samples_per_sec",
+            ["value", "vs_lax", "n_atoms"],
+        ),
         # the convergence artifact lives at ACCURACY_MD17.json (round-4
         # verdict: the old BENCH_CONVERGENCE.json pick silently missed)
         "ACCURACY_MD17.json": (

@@ -312,6 +312,8 @@ def _make_edge_op(
     vmem_limit: int | None = None,
     grad_dtype=None,
     want_param_grads: bool = False,
+    order2: bool = False,
+    bn2: int | None = None,
 ):
     """Build the custom-vjp edge op for a given receiver-block size.
 
@@ -334,7 +336,7 @@ def _make_edge_op(
     mm_e = _make_mm_prec(edge_matmul_dtype, edge_precision)
     mmt_e = (
         _make_mmt_prec(edge_matmul_dtype, edge_precision)
-        if want_param_grads
+        if (want_param_grads or order2)
         else None
     )
     names = _EDGE_LEAVES + ("e_rep", "e_tile")
@@ -382,7 +384,7 @@ def _make_edge_op(
             interpret=interpret,
         )(h_g, a_i, o_i, d00, d01, d02, m, *leaves)
 
-    def _call_bwd(h_g, a_i, o_i, d00, d01, d02, m, leaves, g):
+    def _call_bwd(h_g, a_i, o_i, d00, d01, d02, m, leaves, g, pg=None):
         NR, K, F = h_g.shape
         R = a_i.shape[-1]
         H = o_i.shape[-1]
@@ -393,7 +395,8 @@ def _make_edge_op(
         gdt = grad_dtype or jnp.float32
         grid = (NR // BN,)
 
-        n_dw = len(_EDGE_LEAVES) if want_param_grads else 0
+        pg = want_param_grads if pg is None else pg
+        n_dw = len(_EDGE_LEAVES) if pg else 0
 
         def bwd_kernel(hg_r, ai_r, oi_r, d0_r, d1_r, d2_r, m_r, g0_r,
                        g1_r, g2_r, gh_r, *refs):
@@ -407,7 +410,8 @@ def _make_edge_op(
             f = _edge_chain(hg_v, ai_r[:], oi_r[:], d0_v, m_v, epk, mm_e)
             d_h_g, d_a_i, d_o_i, d_d0, dW = _edge_pullback(
                 hg_v, d0_v, m_v, epk, mm_e, f,
-                [g0_r[:], g1_r[:], g2_r[:]], gh_r[:], mmt=mmt_e,
+                [g0_r[:], g1_r[:], g2_r[:]], gh_r[:],
+                mmt=mmt_e if n_dw else None,
             )
             orefs[0][:] = d_h_g.astype(orefs[0].dtype)
             orefs[1][:] = d_a_i
@@ -465,6 +469,131 @@ def _make_edge_op(
         )(h_g, a_i, o_i, d00, d01, d02, m, gp0, gp1, gp2, ghatt, *leaves)
         return outs
 
+    def _call_bwd2(h_g, a_i, o_i, d00, d01, d02, m, leaves, g, cg):
+        """Second-order kernel: the VJP of the backward pass itself.
+
+        ``g`` are the first-backward's output cotangents (pooled×3, hatt);
+        ``cg`` are the incoming cotangents on the first-backward's SIX
+        outputs (d_h_g, d_a_i, d_o_i, d_d0×3). Returns cotangents w.r.t.
+        every first-backward input: the six primal-input streams, the
+        four ``g`` streams (the force-graph's downstream consumers), and
+        the 11 ``_EDGE_LEAVES`` — the ∂²E/∂p∂x Hessian terms that make
+        force-loss TRAINING exact on the sparse kernels. The body traces
+        ``jax.vjp`` of (_edge_chain ∘ _edge_pullback) on one receiver
+        block (the round-3 'jvp/vjp of the layer body inside a kernel
+        lowers fine' result); leaf cotangents accumulate across grid
+        steps into resident whole-array blocks (the in-kernel dW idiom).
+        """
+        NR, K, F = h_g.shape
+        R = a_i.shape[-1]
+        H = o_i.shape[-1]
+        gp0, gp1, gp2, ghatt = g
+        c_hg, c_ai, c_oi, c_d00, c_d01, c_d02 = cg
+        ep = dict(zip(names, leaves))
+        HK = ep["e_rep"].shape[-1]
+        C = ep["w_xmix"].shape[-1]
+        B2 = bn2 or max(1, BN // 2)
+        while B2 > 1 and NR % B2:
+            B2 //= 2
+        grid = (NR // B2,)
+        n_dw = len(_EDGE_LEAVES)
+
+        def bwd2_kernel(hg_r, ai_r, oi_r, d0_r, d1_r, d2_r, m_r,
+                        g0_r, g1_r, g2_r, gh_r,
+                        ch_r, ca_r, co_r, c0_r, c1_r, c2_r, *refs):
+            lrefs = refs[:len(names)]
+            orefs = refs[len(names):len(names) + 10]
+            grefs = refs[len(names) + 10:]
+            lv = [lr[:] for lr in lrefs]
+            m_v = m_r[:]
+
+            def pb(hg, da, db, dc, ai, oi, p0, p1, p2, ph, *wl):
+                epk = dict(zip(names, tuple(wl) + tuple(lv[n_dw:])))
+                f = _edge_chain(hg, ai, oi, [da, db, dc], m_v, epk, mm_e)
+                d_h_g, d_a_i, d_o_i, d_d0, _ = _edge_pullback(
+                    hg, [da, db, dc], m_v, epk, mm_e, f,
+                    [p0, p1, p2], ph, mmt=None,
+                )
+                return (d_h_g, d_a_i, d_o_i, d_d0[0], d_d0[1], d_d0[2])
+
+            prim = (
+                hg_r[:].astype(jnp.float32), d0_r[:], d1_r[:], d2_r[:],
+                ai_r[:], oi_r[:], g0_r[:], g1_r[:], g2_r[:], gh_r[:],
+            ) + tuple(lv[:n_dw])
+            _, vjp_fn = jax.vjp(pb, *prim)
+            cots = vjp_fn((
+                ch_r[:].astype(jnp.float32), ca_r[:], co_r[:],
+                c0_r[:], c1_r[:], c2_r[:],
+            ))
+            # (e_hg, e_d0×3, e_ai, e_oi, e_g0..2, e_gh, dW2×11)
+            orefs[0][:] = cots[0]
+            for k in range(3):
+                orefs[1 + k][:] = cots[1 + k]
+            orefs[4][:] = cots[4]
+            orefs[5][:] = cots[5]
+            for k in range(4):
+                orefs[6 + k][:] = cots[6 + k]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                for gr in grefs:
+                    gr[:] = jnp.zeros_like(gr)
+
+            for k, gr in enumerate(grefs):
+                gr[:] += cots[10 + k]
+
+        dw_shapes = list(leaves[:n_dw])
+        outs = pl.pallas_call(
+            bwd2_kernel,
+            grid=grid,
+            in_specs=[
+                _row_spec((NR, K, F), B2),
+                _row_spec((NR, R), B2),
+                _row_spec((NR, H), B2),
+            ]
+            + [_row_spec((NR, K, 1), B2)] * 4
+            + [_row_spec((NR, C), B2)] * 3
+            + [_row_spec((NR, HK), B2)]
+            + [
+                _row_spec((NR, K, F), B2),
+                _row_spec((NR, R), B2),
+                _row_spec((NR, H), B2),
+            ]
+            + [_row_spec((NR, K, 1), B2)] * 3
+            + [_const_spec(a) for a in leaves],
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((NR, K, F), jnp.float32)]
+                + [jax.ShapeDtypeStruct((NR, K, 1), jnp.float32)] * 3
+                + [
+                    jax.ShapeDtypeStruct((NR, R), jnp.float32),
+                    jax.ShapeDtypeStruct((NR, H), jnp.float32),
+                ]
+                + [jax.ShapeDtypeStruct((NR, C), jnp.float32)] * 3
+                + [jax.ShapeDtypeStruct((NR, HK), jnp.float32)]
+                + [
+                    jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                    for a in dw_shapes
+                ]
+            ),
+            out_specs=tuple(
+                [_row_spec((NR, K, F), B2)]
+                + [_row_spec((NR, K, 1), B2)] * 3
+                + [
+                    _row_spec((NR, R), B2),
+                    _row_spec((NR, H), B2),
+                ]
+                + [_row_spec((NR, C), B2)] * 3
+                + [_row_spec((NR, HK), B2)]
+                + [_const_spec(a) for a in dw_shapes]
+            ),
+            compiler_params=_compiler_params(
+                n_grid_dims=1, vmem_limit=vmem_limit
+            ),
+            interpret=interpret,
+        )(h_g, a_i, o_i, d00, d01, d02, m, gp0, gp1, gp2, ghatt,
+          c_hg, c_ai, c_oi, c_d00, c_d01, c_d02, *leaves)
+        return outs
+
     @jax.custom_vjp
     def edge_op(h_g, a_i, o_i, d00, d01, d02, m, *leaves):
         return _call_fwd(h_g, a_i, o_i, d00, d01, d02, m, *leaves)
@@ -492,7 +621,98 @@ def _make_edge_op(
         ) + d_leaves
 
     edge_op.defvjp(edge_fwd, edge_bwd)
-    return edge_op
+    if not order2:
+        return edge_op
+
+    # ---- second-order wiring: nested custom_vjp ------------------------
+    # Reverse-over-reverse consumes one custom_vjp level per grad. The
+    # inner (force) transpose inlines edge_op2's fwd/bwd rules, so those
+    # rules must call STILL-WRAPPED ops for the outer (training) grad to
+    # find rules: fwd_l2 (bwd = the param-grad backward kernel — the
+    # first-order ∂E/∂p term) and bwd_l2 (bwd = _call_bwd2 — the
+    # ∂²E/∂p∂x Hessian term). Third-order is deliberately unsupported.
+
+    @jax.custom_vjp
+    def fwd_l2(h_g, a_i, o_i, d00, d01, d02, m, *leaves):
+        return _call_fwd(h_g, a_i, o_i, d00, d01, d02, m, *leaves)
+
+    def fwd_l2_fwd(h_g, a_i, o_i, d00, d01, d02, m, *leaves):
+        out = _call_fwd(h_g, a_i, o_i, d00, d01, d02, m, *leaves)
+        return out, (h_g, a_i, o_i, d00, d01, d02, m, leaves)
+
+    def fwd_l2_bwd(saved, g):
+        h_g, a_i, o_i, d00, d01, d02, m, leaves = saved
+        outs = _call_bwd(
+            h_g, a_i, o_i, d00, d01, d02, m, leaves, g, pg=True
+        )
+        d_h_g, d_a_i, d_o_i, d_d00, d_d01, d_d02 = outs[:6]
+        d_leaves = tuple(
+            dw.astype(a.dtype) for dw, a in zip(outs[6:], leaves)
+        ) + tuple(jnp.zeros_like(a) for a in leaves[len(_EDGE_LEAVES):])
+        return (
+            d_h_g.astype(h_g.dtype) if h_g.dtype != d_h_g.dtype else d_h_g,
+            d_a_i, d_o_i, d_d00, d_d01, d_d02, jnp.zeros_like(m),
+        ) + d_leaves
+
+    fwd_l2.defvjp(fwd_l2_fwd, fwd_l2_bwd)
+
+    @jax.custom_vjp
+    def bwd_l2(h_g, a_i, o_i, d00, d01, d02, m, g0, g1, g2, gh, *leaves):
+        return _call_bwd(
+            h_g, a_i, o_i, d00, d01, d02, m, leaves, (g0, g1, g2, gh),
+            pg=False,
+        )[:6]
+
+    def bwd_l2_fwd(h_g, a_i, o_i, d00, d01, d02, m, g0, g1, g2, gh,
+                   *leaves):
+        out = bwd_l2(h_g, a_i, o_i, d00, d01, d02, m, g0, g1, g2, gh,
+                     *leaves)
+        return out, (h_g, a_i, o_i, d00, d01, d02, m, g0, g1, g2, gh,
+                     leaves)
+
+    def bwd_l2_bwd(saved, cg):
+        h_g, a_i, o_i, d00, d01, d02, m, g0, g1, g2, gh, leaves = saved
+        outs = _call_bwd2(
+            h_g, a_i, o_i, d00, d01, d02, m, leaves,
+            (g0, g1, g2, gh), cg,
+        )
+        e_hg, e_d00, e_d01, e_d02, e_ai, e_oi = outs[:6]
+        e_g0, e_g1, e_g2, e_gh = outs[6:10]
+        dW2 = tuple(
+            dw.astype(a.dtype) for dw, a in zip(outs[10:], leaves)
+        ) + tuple(jnp.zeros_like(a) for a in leaves[len(_EDGE_LEAVES):])
+        return (
+            e_hg.astype(h_g.dtype) if h_g.dtype != e_hg.dtype else e_hg,
+            e_ai, e_oi, e_d00, e_d01, e_d02, jnp.zeros_like(m),
+            e_g0, e_g1, e_g2, e_gh,
+        ) + dW2
+
+    bwd_l2.defvjp(bwd_l2_fwd, bwd_l2_bwd)
+
+    @jax.custom_vjp
+    def edge_op2(h_g, a_i, o_i, d00, d01, d02, m, *leaves):
+        return _call_fwd(h_g, a_i, o_i, d00, d01, d02, m, *leaves)
+
+    def edge_op2_fwd(h_g, a_i, o_i, d00, d01, d02, m, *leaves):
+        out = fwd_l2(h_g, a_i, o_i, d00, d01, d02, m, *leaves)
+        return out, (h_g, a_i, o_i, d00, d01, d02, m, leaves)
+
+    def edge_op2_bwd(saved, g):
+        # invoked by the INNER (force) transpose: input cotangents only;
+        # parameter gradients reach the outer grad through fwd_l2's and
+        # bwd_l2's own rules, so zero leaf cotangents here are exact.
+        h_g, a_i, o_i, d00, d01, d02, m, leaves = saved
+        g0, g1, g2, gh = g
+        d_h_g, d_a_i, d_o_i, d_d00, d_d01, d_d02 = bwd_l2(
+            h_g, a_i, o_i, d00, d01, d02, m, g0, g1, g2, gh, *leaves
+        )
+        return (
+            d_h_g.astype(h_g.dtype) if h_g.dtype != d_h_g.dtype else d_h_g,
+            d_a_i, d_o_i, d_d00, d_d01, d_d02, jnp.zeros_like(m),
+        ) + tuple(jnp.zeros_like(a) for a in leaves)
+
+    edge_op2.defvjp(edge_op2_fwd, edge_op2_bwd)
+    return edge_op2
 
 
 def _gather_rows(a: jax.Array, idx: jax.Array):
@@ -521,6 +741,8 @@ def sparse_kernel_model_forward(
     interpret: bool = False,
     vmem_limit: int | None = None,
     param_grads: bool = False,
+    order2: bool = False,
+    bn2: int | None = None,
 ):
     """Full sparse model with the edge chain on Pallas kernels.
 
@@ -558,6 +780,7 @@ def sparse_kernel_model_forward(
     edge_op = _make_edge_op(
         BN, edge_matmul_dtype, edge_precision, interpret, vmem_limit,
         grad_dtype=gather_dtype, want_param_grads=param_grads,
+        order2=order2, bn2=bn2,
     )
 
     hc = _embed(params, h, mm)
@@ -701,9 +924,9 @@ def make_sparse_kernel_energy_loss(
     apply). ``jax.value_and_grad(loss)(params, ...)`` runs the edge-scope
     backward + in-kernel dW in one Pallas program per layer; everything
     else (node matmuls, gathers/scatter-adds, the depth scan) is XLA
-    autodiff. First-order only — force-loss (second-order) training at
-    large N stays on ``sake_tpu.sparse`` (lax), like the reference's own
-    OC20 runs train on energies.
+    autodiff. First-order (energy) objective — for force-loss
+    (second-order) training on the kernels use
+    ``make_sparse_kernel_force_loss``.
 
     ``update=False`` default: OC20-style relaxed-energy regression does
     not flow positions; flip it on for flow-matching-style objectives.
@@ -723,5 +946,67 @@ def make_sparse_kernel_energy_loss(
             out = out * nm
         e_b = out.sum(axis=(-2, -1))
         return jnp.abs(e_b - e_target).mean()
+
+    return loss
+
+
+def make_sparse_kernel_force_loss(
+    h: jax.Array,  # (B, N, F_in)
+    *,
+    energy_coef: float = 1e-3,
+    n_heads: int = 4,
+    update: Sequence[bool] | bool = False,
+    block_rows: int = 32,
+    bn2: int | None = None,
+    edge_matmul_dtype=jnp.bfloat16,
+    matmul_dtype=None,
+    gather_dtype=None,
+    node_mask: Optional[jax.Array] = None,  # (B, N)
+    box=None,
+    interpret: bool = False,
+    vmem_limit: int | None = None,
+):
+    """``(params, x, idx, nbr_mask, f_target (B,N,3), e_target (B,)) ->
+    scalar`` force-matching loss (F-MAE + ``energy_coef``·E-MAE with
+    F = −dE/dx) on the kernel-fused sparse model, differentiable w.r.t.
+    ``params`` — SECOND-order training at large N entirely on the edge
+    kernels (the MD17 objective, ``/root/reference/scripts/md17/
+    run.py:54-70``, at cutoff-sparse scale the reference never reached).
+
+    Reverse-over-reverse works because the edge op is built two
+    custom_vjp levels deep (``order2=True``): the inner (force)
+    transpose runs the first backward kernel; the outer (training) grad
+    then differentiates it through ``_call_bwd2`` — one Pallas program
+    computing the VJP of the whole edge pullback, including the
+    ∂²E/∂p∂x Hessian-term parameter cotangents — and picks up the
+    first-order ∂E/∂p term from the param-grad backward kernel. Jit
+    training graphs with ``SPARSE_TRAIN_COMPILER_OPTIONS``. ``bn2``:
+    receiver rows per second-order grid step (default ``block_rows//2``
+    — the bwd2 body is ~3x the backward's VMEM footprint).
+    """
+    nm = None if node_mask is None else node_mask[..., None]
+
+    def loss(p: ModelParams, x, idx, nbr_mask, f_target, e_target):
+        def e_sum(x_):
+            out, _, _ = sparse_kernel_model_forward(
+                p, h, x_, idx, nbr_mask,
+                n_heads=n_heads, update=update, block_rows=block_rows,
+                edge_matmul_dtype=edge_matmul_dtype,
+                matmul_dtype=matmul_dtype, gather_dtype=gather_dtype,
+                box=box, interpret=interpret, vmem_limit=vmem_limit,
+                order2=True, bn2=bn2,
+            )
+            if nm is not None:
+                out = out * nm
+            e_b = out.sum(axis=(-2, -1))  # (B,)
+            return e_b.sum(), e_b
+
+        (_, e_b), neg_f = jax.value_and_grad(e_sum, has_aux=True)(x)
+        forces = -neg_f
+        if nm is not None:
+            forces = forces * nm
+        f_loss = jnp.abs(forces - f_target).mean()
+        e_loss = jnp.abs(e_b - e_target).mean()
+        return f_loss + energy_coef * e_loss
 
     return loss

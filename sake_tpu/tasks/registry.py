@@ -75,6 +75,13 @@ _REGISTRY: Dict[str, Callable] = {
     "sparse_md": _lazy("sparse_md", "run", "SparseMDConfig"),
     # same workload on the Pallas sparse edge kernels (2.4x the lax path
     # on-chip; kernels/sparse_ef.py)
+    # round 5: force-matching (second-order) training at cutoff-sparse
+    # scale — lax double autodiff vs the two-level custom_vjp edge
+    # kernels (tasks/sparse_train.py)
+    "sparse_train": _lazy("sparse_train", "run", "SparseTrainConfig"),
+    "sparse_train_kernel": _lazy(
+        "sparse_train", "run", "SparseTrainConfig", use_kernel=True
+    ),
     "sparse_md_kernel": _lazy(
         "sparse_md", "run", "SparseMDConfig", use_kernel=True
     ),

@@ -487,6 +487,53 @@ def test_sparse_kernel_param_grads_match_lax(setup):
             assert err < 2e-4, (jax.tree_util.keystr(path), err, upd)
 
 
+@pytest.mark.slow
+def test_sparse_kernel_force_loss_grads_match_lax(setup):
+    """Round-5 SECOND-order sparse training: ``make_sparse_kernel_force_
+    loss`` (force-matching objective, F = -dE/dx) must produce the same
+    loss and the same ModelParams gradients as lax double autodiff
+    through the sparse path — reverse-over-reverse through the nested
+    custom_vjp edge op, with the ∂²E/∂p∂x Hessian terms coming out of
+    the second-order pullback kernel (f32/interpret tier)."""
+    from sake_tpu.kernels.sparse_ef import make_sparse_kernel_force_loss
+
+    kp, h, x = setup
+    idx, m = neighbor_list(x, 2.5, 16)
+    rng = np.random.RandomState(5)
+    f_t = jnp.asarray(rng.randn(*x.shape), jnp.float32)
+    e_t = jnp.asarray([3.0, -1.0], jnp.float32)
+
+    def lax_loss(p):
+        def e_sum(x_):
+            out, _, _ = sparse_model_forward(
+                p, h, x_, idx, m, update=False
+            )
+            e_b = out.sum(axis=(-2, -1))
+            return e_b.sum(), e_b
+
+        (_, e_b), neg_f = jax.value_and_grad(e_sum, has_aux=True)(x)
+        return (
+            jnp.abs(-neg_f - f_t).mean()
+            + 1e-3 * jnp.abs(e_b - e_t).mean()
+        )
+
+    kern_loss = make_sparse_kernel_force_loss(
+        h, block_rows=8, bn2=4, edge_matmul_dtype=None, interpret=True,
+    )
+    l_l, g_l = jax.value_and_grad(lax_loss)(kp)
+    l_k, g_k = jax.value_and_grad(
+        lambda p: kern_loss(p, x, idx, m, f_t, e_t)
+    )(kp)
+    np.testing.assert_allclose(l_k, l_l, rtol=1e-5, atol=1e-6)
+    leaves_k = jax.tree_util.tree_flatten(g_k)[0]
+    paths = jax.tree_util.tree_flatten_with_path(g_l)[0]
+    for (path, a), b in zip(paths, leaves_k):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-8)
+        err = np.abs(a - b).max() / scale
+        assert err < 5e-4, (jax.tree_util.keystr(path), err)
+
+
 def test_sparse_kernel_node_mask_and_pbc(setup):
     """Padded receivers (node_mask) and periodic boxes run through the
     kernel path with the same semantics as the lax sparse path."""

@@ -116,6 +116,13 @@ TINY = {
                              n_steps=4, rebuild_every=4, cutoff=4.0,
                              max_neighbors=16, periodic=True,
                              kernel_block_rows=16, kernel_interpret=True),
+    "sparse_train": dict(hidden_features=8, depth=2, n_atoms=48,
+                         n_steps=4, steps_per_block=2, cutoff=4.0,
+                         max_neighbors=8),
+    "sparse_train_kernel": dict(hidden_features=8, depth=2, n_atoms=48,
+                                n_steps=4, steps_per_block=2, cutoff=4.0,
+                                max_neighbors=8, block_rows=8, bn2=4,
+                                kernel_interpret=True),
 }
 
 
