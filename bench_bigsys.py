@@ -123,14 +123,14 @@ def main():
 
         return ef
 
-    def make_sparse_kernel_ef(h_):
+    def make_sparse_kernel_ef(h_, **kw):
         # Pallas edge-kernel path (kernels/sparse_ef.py): the same O(N*K)
         # work with the per-layer edge chain fused into kernels
         from sake_tpu.kernels.sparse_ef import (
             make_sparse_kernel_energy_forces,
         )
 
-        raw = make_sparse_kernel_energy_forces(h_, update=True)
+        raw = make_sparse_kernel_energy_forces(h_, update=True, **kw)
 
         @jax.jit
         def ef(x_, idx, m):
@@ -235,6 +235,25 @@ def main():
                 best_impl = "sparse(kernel)"
         except Exception as ex:  # noqa: BLE001 — OOM/compile failures
             row["sparse_kernel"] = "failed: " + str(ex).split("\n")[0][:140]
+        if n >= 8192:
+            # bf16 h-gathers: a wash at 4096 (r4) but a measured +6% at
+            # 16384 where the gather/scatter glue share has grown —
+            # 274 vs 291 ms at N=16384, and the per-atom f_err vs the
+            # lax sparse oracle is BETTER (3.9e-3 vs 4.5e-3, r5 probe)
+            try:
+                ksec, _ = _time_evals(
+                    make_sparse_kernel_ef(h, gather_dtype=jnp.bfloat16),
+                    x, idx_n, m_n, reps=3,
+                )
+                row["sparse_kernel_bf16g"] = round(ksec * 1e3, 2)
+                if best_sparse is None or ksec < best_sparse[1] \
+                        or best_sparse[0] < n:
+                    best_sparse = (n, ksec)
+                    best_impl = "sparse(kernel,bf16g)"
+            except Exception as ex:  # noqa: BLE001
+                row["sparse_kernel_bf16g"] = (
+                    "failed: " + str(ex).split("\n")[0][:140]
+                )
         try:
             # O(N·27·cap) grid-binned build vs the O(N²) all-pairs pass,
             # both under the same periodic box; neighbor SETS must match
