@@ -64,11 +64,18 @@ class MD17Config:
     # bt=8 OOMs (196M > 128M) — bt=4 + aug_bt=2 is the shipping point
     kernel_batch_tile: int = 4
     aug_batch_tile: int = 2
-    # "fused" runs the whole training backward (and primal) each in ONE
-    # Pallas program — the measured champion (2.98x lax at batch 512,
-    # 6,574 samples/s); "shared" (residuals streamed across the
-    # custom_vjp boundary, 2.56x) and "resid"/"retrace" are fallbacks.
-    aug_mode: str = "fused"
+    # "shared" (primal residuals streamed across the custom_vjp
+    # boundary, 2.56x lax) is the SHIPPING default: it passes all four
+    # convergence gates (ACCURACY_MD17.json — force MAE ratio 0.98,
+    # energy 0.62 vs lax 0.59 kcal/mol). "fused" (whole backward in ONE
+    # Pallas program) is the throughput champion (2.98x, 6,574/s,
+    # BENCH_TRAIN_MD17.json) and converges forces identically (ratio
+    # 0.998) but drifts the energy head (2.52 vs 0.59 kcal/mol at 400
+    # epochs, f32 eval oracle — ACCURACY_MD17_FUSED.json, r5): a
+    # systematic bf16-tier bias in its readout/energy gradient path.
+    # Pick fused for force-field work where F is the product; shared
+    # when absolute energies matter. "resid"/"retrace" are fallbacks.
+    aug_mode: str = "shared"
     kernel_interpret: bool = False  # CPU-backend testing
 
 
