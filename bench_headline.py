@@ -66,6 +66,23 @@ def _median_time(fn, repeats=5):
     return float(np.median(times))
 
 
+def _interleaved_medians(fns, repeats=7):
+    """Median time per function with the passes INTERLEAVED (A B C, A B
+    C, ...) so every leg samples the same tunnel-latency state — a
+    ~27 ms nbody pass measured in separated blocks wobbles ±10% across
+    sessions, which is bigger than the effect being measured (r5)."""
+    repeats = _REPEATS or repeats
+    for fn in fns:
+        _force(fn())  # warmup/compile
+    times = [[] for _ in fns]
+    for _ in range(repeats):
+        for k, fn in enumerate(fns):
+            t0 = time.perf_counter()
+            _force(fn())
+            times[k].append(time.perf_counter() - t0)
+    return [float(np.median(t)) for t in times]
+
+
 def _nbody_data(rng):
     # scripts/nbody/speed.py:16-31 shapes: 30 chunks x batch 100 x 5
     # particles; h = [charge, |v|] (2 features)
@@ -140,16 +157,17 @@ def bench_nbody():
     assert x_err < 1e-4, f"nbody parity broken: {x_err}"
     _mark(f"nbody parity ok ({x_err:.2e}); timing reference")
 
-    t_ref = _median_time(
-        lambda f=_unrolled_forward(ref_model.apply, ref_params, h, x, v):
-        f(h, x, v)
-    ) / 30.0
-    _mark(f"nbody reference {t_ref:.5f} s/forward; timing ours")
-    t_ours = _median_time(
-        lambda f=_unrolled_forward(our_model.apply, our_params, h, x, v):
-        f(h, x, v)
-    ) / 30.0
-    t_kern, kern_gate = _nbody_kernel_leg(our_params, h, x, v)
+    f_ref = _unrolled_forward(ref_model.apply, ref_params, h, x, v)
+    f_ours = _unrolled_forward(our_model.apply, our_params, h, x, v)
+    f_kern, kern_gate = _nbody_kernel_leg(our_params, h, x, v)
+    fns = [lambda: f_ref(h, x, v), lambda: f_ours(h, x, v)]
+    if f_kern is not None:
+        fns.append(lambda: f_kern(h, x, v))
+    meds = _interleaved_medians(fns)
+    t_ref, t_ours = meds[0] / 30.0, meds[1] / 30.0
+    t_kern = meds[2] / 30.0 if f_kern is not None else None
+    _mark(f"nbody interleaved: ref {t_ref:.5f} ours {t_ours:.5f} "
+          f"kern {t_kern}")
     return t_ref, t_ours, x_err, t_kern, kern_gate
 
 
@@ -159,7 +177,8 @@ def _nbody_kernel_leg(our_params, h, x, v):
     velocity-model forward (``make_hidden_fn(want_x=True)`` consumes the
     real nbody velocities) under the reference benchmark's DCE'd
     30-apply structure. Gate before timing: predicted positions vs this
-    file's own lax leg. Returns (sec/forward or None, gate dict)."""
+    file's own lax leg. Returns (jitted 30-apply fn or None, gate dict);
+    the caller times it interleaved with the other legs."""
     interp = jax.default_backend() == "cpu"
     if interp and not os.environ.get("SAKE_HEADLINE_KERNEL_INTERPRET"):
         return None, {"skipped": "cpu backend (interpret-only)"}
@@ -201,9 +220,8 @@ def _nbody_kernel_leg(our_params, h, x, v):
                 _hf, _x = hx(kp, h_[i], x_[i], v_[i], None)
             return _x
 
-        _mark(f"nbody kernel gate ok ({gate}); timing kernel leg")
-        t_kern = _median_time(lambda: forward(h, x, v)) / 30.0
-        return t_kern, gate
+        _mark(f"nbody kernel gate ok ({gate})")
+        return forward, gate
     except Exception as ex:  # noqa: BLE001 — report, don't kill the bench
         if os.environ.get("SAKE_HEADLINE_STRICT") == "1":
             raise
