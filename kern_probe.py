@@ -54,8 +54,20 @@ def main():
     from sake_tpu.tasks.md17 import make_energy_force_fn
 
     # Oracle outputs are deterministic per batch (seed 0); cache them so a
-    # probe sweep doesn't redo two lax compiles per subprocess.
-    cache = f"/tmp/kern_probe_oracle_{batch}.npz"
+    # probe sweep doesn't redo two lax compiles per subprocess. The cache
+    # lives IN-REPO (.kern_oracle/, committed): /tmp is wiped between
+    # sessions, and recomputing the HIGHEST-precision truth (~6 min cold)
+    # plus a cold one_ef Mosaic compile (~20 min) cannot fit bench.py's
+    # budget — observed 2026-08-21. Staleness is self-correcting: if the
+    # model code changes, the cached truth no longer matches ANY correct
+    # kernel and the f_err gate rejects the variant (bench then carries
+    # last_verified), so a wrong cache can never mint a headline.
+    cdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".kern_oracle")
+    cache = os.path.join(cdir, f"oracle_{batch}.npz")
+    tmp_cache = f"/tmp/kern_probe_oracle_{batch}.npz"
+    if not os.path.exists(cache) and os.path.exists(tmp_cache):
+        cache = tmp_cache
     model = SAKEModel(hidden_features=64, out_features=1, depth=6)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(batch, len(ASPIRIN_Z), 3) * 1.5, jnp.float32)
@@ -88,7 +100,9 @@ def main():
             e_t, f_t = _piecewise(ef_hi)
         scale = float(np.abs(f_t).max()) + 1e-12
         err_lax = float(np.abs(f_ref - f_t).max()) / scale
-        np.savez(cache, e_t=e_t, f_t=f_t, err_lax=err_lax)
+        os.makedirs(cdir, exist_ok=True)
+        np.savez(os.path.join(cdir, f"oracle_{batch}.npz"),
+                 e_t=e_t, f_t=f_t, err_lax=err_lax)
     f_scale = float(np.abs(f_t).max()) + 1e-12
 
     kp = model_params_from_linen(params)
