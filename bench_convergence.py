@@ -50,6 +50,9 @@ def main():
     if "--data-dir" in sys.argv:
         data_dir = sys.argv[sys.argv.index("--data-dir") + 1]
     smoke = "--smoke" in sys.argv
+    aug_mode = None  # None = the task's shipping default
+    if "--aug-mode" in sys.argv:
+        aug_mode = sys.argv[sys.argv.index("--aug-mode") + 1]
 
     from sake_tpu.data.md17 import load_md17
     from sake_tpu.tasks.md17 import MD17Config, run
@@ -76,10 +79,16 @@ def main():
         np.abs(f_vl - f_tr.mean(0)).mean() * KCAL_PER_MOL
     )
 
+    kextra = {"use_kernel_ef": True}
+    if aug_mode is not None:
+        kextra["aug_mode"] = aug_mode
+        if aug_mode == "fused":
+            kextra["kernel_batch_tile"] = 4
+            kextra["aug_batch_tile"] = 2
     results = {}
     for name, extra in (
         ("lax", {}),
-        ("kernel", {"use_kernel_ef": True}),
+        ("kernel", kextra),
     ):
         cfg = MD17Config(**common, **extra)
         logger = MetricLogger(stream=io.StringIO())  # quiet block logs
@@ -122,7 +131,7 @@ def main():
                 "kernel": results["kernel"],
                 "lax": results["lax"],
                 "n_epochs": n_epochs,
-                "aug_mode": MD17Config.aug_mode,
+                "aug_mode": aug_mode or MD17Config.aug_mode,
                 "notes": (
                     "same config+seed trained twice via tasks/md17.run: lax "
                     "double autodiff vs the second-order kernel path "

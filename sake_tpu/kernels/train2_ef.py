@@ -202,6 +202,15 @@ def make_ef_train2(
     ABT = aug_batch_tile if aug_batch_tile is not None else batch_tile
     BT_P = batch_tile
     mm = _make_mm_prec(matmul_dtype, precision)
+    # In-kernel READOUT-head matmuls run at HIGHEST precision: Mosaic's
+    # default-precision matmul equals a bf16 cast (f_rel ~2e-2, CLAUDE.md
+    # measurement log), and in fused mode the head — whose pullback IS
+    # the energy parameter gradient — lives inside the Pallas program
+    # (shared mode's head runs in XLA at f32). Training 400 epochs with
+    # the head at the Mosaic default left the energy MAE at 2.52 vs lax
+    # 0.59 kcal/mol while forces converged (ACCURACY_MD17_FUSED.json);
+    # the head is O(N·F·C) — 6-pass HIGHEST there costs ~nothing.
+    mm_hi = _make_mm_prec(None, jax.lax.Precision.HIGHEST)
     mm_edge = None
     if edge_matmul_dtype is not None or edge_precision is not None:
         mm_edge = _make_mm_prec(edge_matmul_dtype, edge_precision)
@@ -1267,8 +1276,8 @@ def make_ef_train2(
             w0, b0, w1, b1 = w0r[:], b0r[:], w1r[:], b1r[:]
 
             def readout_e(h_):
-                out = mm(
-                    _silu(mm(h_.reshape(BT_P * N, F), w0) + b0), w1
+                out = mm_hi(
+                    _silu(mm_hi(h_.reshape(BT_P * N, F), w0) + b0), w1
                 ) + b1
                 out = out.reshape(BT_P, N, out_f)[:, :nr]
                 return jnp.sum(out, axis=1)  # (BT_P, out_f)
@@ -1355,7 +1364,17 @@ def make_ef_train2(
         h_fin = outs[7]
         resid_arrays = outs[8 : 8 + n_resid]
         e_out, dx0, dx1, dx2 = outs[8 + n_resid :]
-        e = e_out[:, 0, 0]
+        del e_out
+        # E VALUE from the XLA readout on h_fin — the exact tier the
+        # shared primal (and the task's f32 eval oracle) uses. The
+        # in-kernel head still computes the dh_fin force seed and, in
+        # the backward, the readout grads (at HIGHEST). Training on the
+        # in-kernel E value left a tier mismatch vs the evaluator:
+        # with the Mosaic-default head, 400-epoch energy MAE was 2.52
+        # vs lax 0.59 kcal/mol; HIGHEST cut it to 0.87; value-via-XLA
+        # closes the rest (the optimizer and the evaluator must read E
+        # through the same rounding).
+        e = _shared_readout(params, c, h_fin)(h_fin)
         f = -jnp.concatenate([dx0, dx1, dx2], axis=-1)
         if n_real is not None:
             f = f[:, :n_real]
@@ -1800,8 +1819,9 @@ def make_ef_train2(
 
             def aug_ro(h_, th_, w0_, b0_, w1_, b1_):
                 def ro_nodes(hh):
-                    out = mm(
-                        _silu(mm(hh.reshape(ABT * N, F), w0_) + b0_), w1_
+                    out = mm_hi(
+                        _silu(mm_hi(hh.reshape(ABT * N, F), w0_) + b0_),
+                        w1_,
                     ) + b1_
                     return out.reshape(ABT, N, out_f)[:, :nr]
 

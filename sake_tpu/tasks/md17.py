@@ -59,23 +59,25 @@ class MD17Config:
     # the lax double-autodiff step (BENCH_TRAIN_MD17.json). Training
     # state becomes the functional ModelParams pytree.
     use_kernel_ef: bool = False
-    # fused-mode VMEM champions (round 4, BENCH_TRAIN_MD17.json): the
-    # fused primal's residual windows carry the whole depth axis, so
-    # bt=8 OOMs (196M > 128M) — bt=4 + aug_bt=2 is the shipping point
+    # VMEM champions per mode (BENCH_TRAIN_MD17.json): fused needs
+    # bt=4/aug_bt=2 (its windows carry the whole depth axis — 196M >
+    # 128M otherwise); shared runs bt=8/aug_bt=4 (abt=8 OOMs the
+    # aug-bwd blocks). Defaults match the shipping aug_mode ("fused").
     kernel_batch_tile: int = 4
     aug_batch_tile: int = 2
-    # "shared" (primal residuals streamed across the custom_vjp
-    # boundary, 2.56x lax) is the SHIPPING default: it passes all four
-    # convergence gates (ACCURACY_MD17.json — force MAE ratio 0.98,
-    # energy 0.62 vs lax 0.59 kcal/mol). "fused" (whole backward in ONE
-    # Pallas program) is the throughput champion (2.98x, 6,574/s,
-    # BENCH_TRAIN_MD17.json) and converges forces identically (ratio
-    # 0.998) but drifts the energy head (2.52 vs 0.59 kcal/mol at 400
-    # epochs, f32 eval oracle — ACCURACY_MD17_FUSED.json, r5): a
-    # systematic bf16-tier bias in its readout/energy gradient path.
-    # Pick fused for force-field work where F is the product; shared
-    # when absolute energies matter. "resid"/"retrace" are fallbacks.
-    aug_mode: str = "shared"
+    # "fused" (whole training backward — and primal — each in ONE
+    # Pallas program) is the SHIPPING default: throughput champion
+    # (2.98x lax, 6,574/s, BENCH_TRAIN_MD17.json) AND passes all four
+    # 400-epoch convergence gates (ACCURACY_MD17.json: force MAE ratio
+    # 1.000, energy 0.61 vs lax 0.59 kcal/mol). Getting there took two
+    # r5 fixes — the in-kernel readout head runs at HIGHEST matmul
+    # precision (Mosaic's default equals a bf16 cast, which biased the
+    # energy grads), and the E VALUE is read through the same XLA
+    # readout tier the evaluator uses (train/eval tier mismatch left
+    # e_mae at 0.87; see ACCURACY_MD17_FUSED_BUG.json for the original
+    # 2.52 failure). "shared" (2.56x, ACCURACY_MD17_SHARED.json) and
+    # "resid"/"retrace" are fallbacks.
+    aug_mode: str = "fused"
     kernel_interpret: bool = False  # CPU-backend testing
 
 
