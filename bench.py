@@ -74,12 +74,13 @@ DEFAULT_KERNEL_VARIANTS = (
 # Most recent oracle-verified on-chip result (PERF.md) — carried on error
 # or degraded-tunnel lines so an outage never erases the evidence trail.
 LAST_VERIFIED = {
-    "value": 25760.0,
+    "value": 25632.6,
     "impl": "one:bt=4,edtype=bf16,rdtype=bf16x,pad=1",
     "batch": 32768,
-    "f_err_vs_oracle": 4.8e-3,
-    "measured": "2026-08-17 on-chip (see PERF.md)",
-    "vs_baseline": 0.515,
+    "f_err_vs_oracle": 4.84e-3,
+    "measured": "2026-08-21 on-chip (kern_probe; historical best 25,760"
+                " on 2026-08-17 — see PERF.md)",
+    "vs_baseline": 0.5127,
 }
 
 
