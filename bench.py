@@ -411,9 +411,18 @@ def main():
             ranked.append((rate, v))
         improve(rate, tag or v, ferr, at_batch)
 
+    big = int(os.environ.get("SAKE_BENCH_KERNEL_BIG_BATCH", "32768"))
     if variants:
         try_variant(variants[0], batch)
         emit()  # lax + first verified kernel variant: the VERDICT minimum
+        # champion's big-batch point NEXT, before the informational
+        # sweep legs: it is the headline (25.6k vs 23.4k at 2048) and
+        # repeatedly fell off the end of the budget when probed last
+        if big > batch and isinstance(
+            state["sweep"].get(variants[0]), (int, float)
+        ):
+            try_variant(variants[0], big, tag=f"{variants[0]}@{big}")
+            emit()
 
     # ---- everything else is budget-gated gravy --------------------------
     for b in SWEEP_BATCHES:
@@ -444,10 +453,10 @@ def main():
     # is evaluated in 2048-sized pieces). Two, not one: the 2048 ranking
     # does not always hold at 8192. Grid-size-only recompiles are cheap
     # (~12-19 s) once the program is cached at any batch.
-    big = int(os.environ.get("SAKE_BENCH_KERNEL_BIG_BATCH", "32768"))
     if big > batch:
         for _, v in sorted(ranked, reverse=True)[:2]:
-            try_variant(v, big, tag=f"{v}@{big}")
+            if f"{v}@{big}" not in state["sweep"]:
+                try_variant(v, big, tag=f"{v}@{big}")
 
     if state["impl"] == "lax":
         # no kernel variant verified THIS run (cold server Mosaic cache:
