@@ -424,39 +424,49 @@ def main():
             try_variant(variants[0], big, tag=f"{variants[0]}@{big}")
             emit()
 
-    # ---- everything else is budget-gated gravy --------------------------
-    for b in SWEEP_BATCHES:
-        if str(b) in state["sweep"]:
-            continue
-        if remaining() < 180:
-            state["sweep"][str(b)] = "skipped (budget)"
-            continue
-        ef, params, x = build(b)
-        state["sweep"][str(b)] = round(measure(ef, params, x), 1)
-        del ef, params, x
+    # ---- everything else is budget-gated gravy. Guarded leg-by-leg AND
+    # as a whole: a tunnel blip on an informational leg must not kill
+    # the process after the headline is on the record (a "response body
+    # closed" mid-sweep crash cost rc!=0 on 2026-08-21) -----------------
+    try:
+        for b in SWEEP_BATCHES:
+            if str(b) in state["sweep"]:
+                continue
+            if remaining() < 180:
+                state["sweep"][str(b)] = "skipped (budget)"
+                continue
+            try:
+                ef, params, x = build(b)
+                state["sweep"][str(b)] = round(measure(ef, params, x), 1)
+                del ef, params, x
+            except Exception as ex:  # noqa: BLE001 — tunnel/OOM legs
+                state["sweep"][str(b)] = (
+                    "failed: " + str(ex).split("\n")[0][:120]
+                )
 
-    if os.environ.get("SAKE_BENCH_OOM_PROBE", "1") != "0":
-        if remaining() > 240:
-            state["sweep"][str(OOM_PROBE_BATCH)] = _oom_probe(
-                OOM_PROBE_BATCH, timeout=min(600, remaining() - 60)
-            )
-        else:
-            state["sweep"][str(OOM_PROBE_BATCH)] = "skipped (budget)"
-    emit()
+        if os.environ.get("SAKE_BENCH_OOM_PROBE", "1") != "0":
+            if remaining() > 240:
+                state["sweep"][str(OOM_PROBE_BATCH)] = _oom_probe(
+                    OOM_PROBE_BATCH, timeout=min(600, remaining() - 60)
+                )
+            else:
+                state["sweep"][str(OOM_PROBE_BATCH)] = "skipped (budget)"
+        emit()
 
-    for v in variants[1:]:
-        try_variant(v, batch)
+        for v in variants[1:]:
+            try_variant(v, batch)
 
-    # the kernel path scales past the lax HBM ceiling (batch 4096 OOMs the
-    # lax program; the resident-residual kernels do not) — probe the TWO
-    # best variants at a big batch too (verified like the rest; the oracle
-    # is evaluated in 2048-sized pieces). Two, not one: the 2048 ranking
-    # does not always hold at 8192. Grid-size-only recompiles are cheap
-    # (~12-19 s) once the program is cached at any batch.
-    if big > batch:
-        for _, v in sorted(ranked, reverse=True)[:2]:
-            if f"{v}@{big}" not in state["sweep"]:
-                try_variant(v, big, tag=f"{v}@{big}")
+        # the kernel path scales past the lax HBM ceiling (batch 4096
+        # OOMs the lax program; the resident-residual kernels do not) —
+        # probe the TWO best variants at a big batch too (verified like
+        # the rest; the oracle is evaluated in 2048-sized pieces). Two,
+        # not one: the 2048 ranking does not always hold at 8192.
+        if big > batch:
+            for _, v in sorted(ranked, reverse=True)[:2]:
+                if f"{v}@{big}" not in state["sweep"]:
+                    try_variant(v, big, tag=f"{v}@{big}")
+    except Exception as ex:  # noqa: BLE001 — never lose the final line
+        state["late_error"] = str(ex).split("\n")[0][:160]
 
     if state["impl"] == "lax":
         # no kernel variant verified THIS run (cold server Mosaic cache:
